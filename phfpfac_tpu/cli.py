@@ -1,0 +1,110 @@
+"""gphf-compatible command-line interface.
+
+Usage (README.md:12 of the reference):
+
+    python -m phfpfac_tpu.cli <pattern file> <stream number> <hash table width> <input file>
+
+Produces ``GPU_match_result.txt`` with lines
+``At position %4d, match pattern %d`` (main.cc:335-350) plus the
+reference's phase-timing taxonomy (main.cc:279-287) and PHF stats
+(phf.c:262-282) on stdout.
+
+Notes on fidelity:
+
+* shard count = 4 * streamnum, reproducing the intended configuration
+  (create_table_reorder.c:207 hardcodes GPU_S = 4); ``--num-shards``
+  overrides.  The merged output is shard-count invariant.
+* ``input_size = filesize - 1`` (main.cc:138 ``ftell(fpin)-1`` —
+  assumes a trailing newline and drops it); ``--full-input`` disables
+  the quirk.
+* walk truncation defaults to the reference's 4 KiB segment + 512 B
+  halo (master_kernel.cu:8-11); ``--exact`` removes the truncation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from phfpfac_tpu.compile.tables import compile_dictionary
+from phfpfac_tpu.parallel.matcher import Matcher
+from phfpfac_tpu.utils.config import PfacConfig
+from phfpfac_tpu.utils.timing import PhaseTimer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gphf",
+        description="TPU-native PFAC multi-pattern matcher (PHFPFAC-compatible)",
+    )
+    p.add_argument("pattern_file")
+    p.add_argument("streamnum", type=int, help="streams per device (shards = 4*streamnum)")
+    p.add_argument("width", type=int, help="PHF hash table width (power of two)")
+    p.add_argument("input_file")
+    p.add_argument("-o", "--output", default="GPU_match_result.txt")
+    p.add_argument("--num-shards", type=int, default=None,
+                   help="override shard count (default 4*streamnum)")
+    p.add_argument("--engine", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument("--exact", action="store_true",
+                   help="disable reference segment+halo walk truncation")
+    p.add_argument("--full-input", action="store_true",
+                   help="scan all filesize bytes (reference scans filesize-1)")
+    p.add_argument("--escapes", action="store_true",
+                   help="decode \\xNN, \\ooo and C escapes in patterns (fgetc_ext)")
+    p.add_argument("--save-tables", default=None,
+                   help="serialize compiled tables to this .npz path")
+    p.add_argument("--load-tables", default=None,
+                   help="load compiled tables instead of building")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    num_shards = args.num_shards or 4 * args.streamnum
+    cfg = PfacConfig(
+        width=args.width,
+        num_shards=num_shards,
+        truncation="none" if args.exact else "segment",
+        match_slots=0,  # full parity layout
+    )
+    timer = PhaseTimer()
+
+    with timer.phase("create_pfac"):
+        if args.load_tables:
+            from phfpfac_tpu.compile.tables import CompiledDictionary
+
+            compiled = CompiledDictionary.load(args.load_tables)
+        else:
+            compiled = compile_dictionary(
+                args.pattern_file, cfg, escapes=args.escapes,
+                verbose=not args.quiet,
+            )
+    if args.save_tables:
+        compiled.save(args.save_tables)
+
+    for i, sh in enumerate(compiled.shards):
+        if not args.quiet:
+            # mirrors main.cc:113-117
+            print(f"state num on shard {i} : {sh.state_num}")
+            print(f"final state num on shard {i} : {sh.final_state_num}")
+            print(f"max pattern length on shard {i} : {sh.max_pat_len}")
+
+    with open(args.input_file, "rb") as f:
+        data = f.read()
+    input_size = len(data) if args.full_input else max(len(data) - 1, 0)
+    if not args.quiet:
+        print(f"input size is {input_size} char")  # main.cc:140
+
+    matcher = Matcher(compiled, cfg, engine=args.engine, timer=timer)
+    text = matcher.match_to_text(data, input_size=input_size)
+    with open(args.output, "w") as f:
+        f.write(text)
+
+    if not args.quiet:
+        print(timer.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,183 @@
+"""Dictionary compilation pipeline: patterns -> per-shard device tables.
+
+Combines the frontend (read/sort/shard, create_table_reorder.c:201-251),
+the trie builder and the FFDM PHF packer, and adds what the reference
+lacks: compiled-table serialization (save/load), so the slow host build
+runs once (the reference rebuilds tables on every invocation).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from phfpfac_tpu.compile.phf import PhfTable, build_phf
+from phfpfac_tpu.compile.trie import TrieTables, build_pfac_trie
+from phfpfac_tpu.frontend.patterns import (
+    Pattern,
+    read_patterns,
+    shard_patterns,
+    sort_patterns,
+)
+from phfpfac_tpu.utils.config import CHAR_SET, PfacConfig
+
+
+@dataclass
+class ShardTables:
+    """Everything one device needs to scan with one dictionary shard.
+
+    This is the TPU analog of the reference ``thread_data``
+    (main.cc:19-32): s0 row + PHF (r, HT, val) + shape metadata.
+    """
+
+    state_num: int
+    final_state_num: int  # k: states 0..k-1 are final
+    max_pat_len: int
+    width: int
+    ht_size: int
+    s0: np.ndarray  # int32 [256]
+    r: np.ndarray  # int32 [dev_rows]
+    ht: np.ndarray  # int32 [ht_size]
+    val: np.ndarray  # int32 [ht_size]
+    pattern_id_map: np.ndarray  # int32 [k] shard-local final -> global 1-based id
+
+    @property
+    def width_bit(self) -> int:
+        return self.width.bit_length() - 1
+
+
+@dataclass
+class CompiledDictionary:
+    """All shards plus global metadata."""
+
+    shards: list[ShardTables]
+    max_pat_len: int  # max over shards (main.cc merge uses it, :304)
+    num_patterns: int
+    width: int
+
+    @property
+    def num_shards(self) -> int:
+        return len(self.shards)
+
+    # ---------------- serialization (capability the reference lacks;
+    # its natural equivalent of checkpoint/resume — SURVEY.md §5) ------
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        arrays: dict[str, np.ndarray] = {}
+        meta = {
+            "version": 1,
+            "max_pat_len": self.max_pat_len,
+            "num_patterns": self.num_patterns,
+            "width": self.width,
+            "shards": [],
+        }
+        for i, sh in enumerate(self.shards):
+            meta["shards"].append(
+                {
+                    "state_num": sh.state_num,
+                    "final_state_num": sh.final_state_num,
+                    "max_pat_len": sh.max_pat_len,
+                    "width": sh.width,
+                    "ht_size": sh.ht_size,
+                }
+            )
+            for name in ("s0", "r", "ht", "val", "pattern_id_map"):
+                arrays[f"shard{i}_{name}"] = getattr(sh, name)
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        )
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str | Path) -> "CompiledDictionary":
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+            shards = []
+            for i, m in enumerate(meta["shards"]):
+                shards.append(
+                    ShardTables(
+                        state_num=m["state_num"],
+                        final_state_num=m["final_state_num"],
+                        max_pat_len=m["max_pat_len"],
+                        width=m["width"],
+                        ht_size=m["ht_size"],
+                        s0=z[f"shard{i}_s0"],
+                        r=z[f"shard{i}_r"],
+                        ht=z[f"shard{i}_ht"],
+                        val=z[f"shard{i}_val"],
+                        pattern_id_map=z[f"shard{i}_pattern_id_map"],
+                    )
+                )
+        return cls(
+            shards=shards,
+            max_pat_len=meta["max_pat_len"],
+            num_patterns=meta["num_patterns"],
+            width=meta["width"],
+        )
+
+
+def _shard_to_tables(trie: TrieTables, phf: PhfTable) -> ShardTables:
+    # Pad degenerate (empty-shard) tables to length >= 1 so device
+    # gathers always have a real buffer; the -1 sentinel can never
+    # verify as a hit (ht stores only row numbers >= 0).
+    if phf.ht_size == 0:
+        phf.ht = np.full(1, -1, dtype=np.int32)
+        phf.val = np.full(1, -1, dtype=np.int32)
+    return ShardTables(
+        state_num=trie.state_num,
+        final_state_num=trie.final_state_num,
+        max_pat_len=trie.max_pat_len,
+        width=phf.width,
+        ht_size=phf.ht_size,
+        s0=np.ascontiguousarray(trie.s0, dtype=np.int32),
+        r=phf.r,
+        ht=phf.ht,
+        val=phf.val,
+        pattern_id_map=trie.pattern_id_map,
+    )
+
+
+def compile_patterns(
+    patterns: list[Pattern], config: PfacConfig, *, verbose: bool = False
+) -> CompiledDictionary:
+    """Compile an (unsorted) pattern list into per-shard device tables."""
+    ordered = sort_patterns(patterns)
+    shards_pat = shard_patterns(ordered, config.num_shards)
+    shards: list[ShardTables] = []
+    max_pat_len = 0
+    for sp in shards_pat:
+        trie = build_pfac_trie(sp)
+        phf = build_phf(trie.table, config.width)
+        if verbose:
+            print(phf.stats_report())
+        shards.append(_shard_to_tables(trie, phf))
+        max_pat_len = max(max_pat_len, trie.max_pat_len)
+    return CompiledDictionary(
+        shards=shards,
+        max_pat_len=max_pat_len,
+        num_patterns=len(patterns),
+        width=config.width,
+    )
+
+
+def compile_dictionary(
+    pattern_file: str,
+    config: PfacConfig,
+    *,
+    escapes: bool = False,
+    verbose: bool = False,
+) -> CompiledDictionary:
+    """Read + compile a pattern file (create_PFAC_table_reorder.c:6-11 facade)."""
+    patterns = read_patterns(pattern_file, escapes=escapes)
+    return compile_patterns(patterns, config, verbose=verbose)
+
+
+def dense_lookup(trie_table: np.ndarray, state: int, ch: int) -> int:
+    """Dense-table transition (for tests)."""
+    if state < 0 or state >= trie_table.shape[0] or not 0 <= ch < CHAR_SET:
+        return -1
+    return int(trie_table[state, ch])

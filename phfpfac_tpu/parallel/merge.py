@@ -1,0 +1,60 @@
+"""Shard-result merge + output rendering.
+
+Reproduces the reference host merge (main.cc:303-324): for every input
+position, concatenate each shard's non-(-1) match entries in shard
+order, remapping shard-local final states to global 1-based pattern ids
+via ``patternIdMap`` (main.cc:314).  Because sorted patterns are split
+contiguously and the matches at any single position form a prefix
+chain, the merged per-position order equals global
+increasing-match-length order — invariant to the shard count (the
+``xxxposition`` vs ``allposition`` experiment, SURVEY.md §4).
+
+Output format parity target (main.cc:335-350):
+``At position %4d, match pattern %d\n`` per match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from phfpfac_tpu.compile.tables import CompiledDictionary
+
+
+def merge_match_rows(
+    compiled: CompiledDictionary,
+    shard_rows: list[np.ndarray],  # per shard: int32 [n_pos, slots], -1 padded
+    input_size: int,
+) -> np.ndarray:
+    """Merge per-shard match rows into a flat [(pos, global id)] array.
+
+    Returns int64 [n_matches, 2] sorted by (pos, shard, slot) — the
+    reference's shard-major merge order.
+    """
+    pos_parts, id_parts, shard_parts, slot_parts = [], [], [], []
+    for s, rows in enumerate(shard_rows):
+        rows = np.asarray(rows)
+        rows = rows[:input_size]
+        p, j = np.nonzero(rows >= 0)
+        if p.size == 0:
+            continue
+        local = rows[p, j]
+        ids = compiled.shards[s].pattern_id_map[local]
+        pos_parts.append(p)
+        id_parts.append(ids.astype(np.int64))
+        shard_parts.append(np.full(p.size, s, dtype=np.int64))
+        slot_parts.append(j)
+    if not pos_parts:
+        return np.empty((0, 2), dtype=np.int64)
+    pos = np.concatenate(pos_parts)
+    ids = np.concatenate(id_parts)
+    shard = np.concatenate(shard_parts)
+    slot = np.concatenate(slot_parts)
+    order = np.lexsort((slot, shard, pos))
+    return np.stack([pos[order], ids[order]], axis=1)
+
+
+def render_result_file(matches: np.ndarray) -> str:
+    """Render ``GPU_match_result.txt`` content (main.cc:335-350)."""
+    return "".join(
+        f"At position {int(p):4d}, match pattern {int(i)}\n" for p, i in matches
+    )
