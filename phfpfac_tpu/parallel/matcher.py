@@ -19,7 +19,11 @@ import numpy as np
 
 from phfpfac_tpu.compile.tables import CompiledDictionary
 from phfpfac_tpu.ops.common import pad_input, padded_steps, walk_limits
-from phfpfac_tpu.parallel.merge import merge_match_rows, render_result_file
+from phfpfac_tpu.parallel.merge import (
+    merge_flat_matches,
+    merge_match_rows,
+    render_result_file,
+)
 from phfpfac_tpu.utils.config import PfacConfig
 from phfpfac_tpu.utils.timing import PhaseTimer
 
@@ -34,13 +38,74 @@ class Matcher:
         compiled: CompiledDictionary,
         config: PfacConfig,
         *,
-        engine: Literal["jnp", "pallas"] = "jnp",
+        engine: Literal["jnp", "turbo", "pallas"] = "turbo",
         timer: PhaseTimer | None = None,
+        turbo_full_steps: int = 2,
+        turbo_cap_frac: int = 8,
     ):
         self.compiled = compiled
         self.config = config
         self.engine = engine
         self.timer = timer or PhaseTimer()
+        self.turbo_full_steps = turbo_full_steps
+        self.turbo_cap_frac = turbo_cap_frac
+        self._turbo_tables = None
+
+    def _get_turbo_tables(self):
+        if self._turbo_tables is None:
+            from phfpfac_tpu.ops.turbo_jnp import build_turbo_tables
+
+            self._turbo_tables = [
+                build_turbo_tables(sh) for sh in self.compiled.shards
+            ]
+        return self._turbo_tables
+
+    def _match_flat_turbo(self, data: bytes, input_size: int) -> list:
+        """Per-shard flat (pos, step, local-state) matches via the turbo
+        engine, with dense-engine fallback on compaction overflow."""
+        from phfpfac_tpu.ops.turbo_jnp import (
+            expand_turbo_matches,
+            scan_shard_turbo,
+        )
+
+        max_steps = padded_steps(self.compiled.max_pat_len)
+        padded = pad_input(data, _POS_PAD, max_steps)
+        flats = []
+        with self.timer.phase("match"):
+            for shard, tt in zip(self.compiled.shards, self._get_turbo_tables()):
+                res = scan_shard_turbo(
+                    shard,
+                    padded,
+                    input_size,
+                    self.config,
+                    max_steps=max_steps,
+                    full_steps=self.turbo_full_steps,
+                    cap_frac=self.turbo_cap_frac,
+                    turbo_tables=tt,
+                )
+                tail_t0 = min(self.turbo_full_steps + 1, max_steps)
+                try:
+                    flats.append(expand_turbo_matches(res, input_size, tail_t0))
+                except OverflowError:
+                    # adversarial survivor count: dense fallback, exact
+                    rows = self._dense_rows_one_shard(shard, padded, input_size)
+                    p, j = np.nonzero(rows >= 0)
+                    flats.append(
+                        np.stack([p, j, rows[p, j]], axis=1).astype(np.int64)
+                    )
+        return flats
+
+    def _dense_rows_one_shard(self, shard, padded, input_size):
+        from phfpfac_tpu.ops.reference_jnp import scan_shard_jnp
+
+        max_steps = padded_steps(self.compiled.max_pat_len)
+        n_pos = len(padded) - max_steps
+        limits = walk_limits(n_pos, input_size, shard.max_pat_len, self.config)
+        out, _ = scan_shard_jnp(
+            shard, padded, limits, input_size,
+            slots=max(self.compiled.max_pat_len, 1),
+        )
+        return np.asarray(out)
 
     def _slots(self) -> int:
         if self.config.match_slots > 0:
@@ -65,7 +130,7 @@ class Matcher:
                 limits = walk_limits(
                     n_pos, input_size, shard.max_pat_len, self.config
                 )
-                if self.engine == "jnp":
+                if self.engine in ("jnp", "turbo"):
                     from phfpfac_tpu.ops.reference_jnp import scan_shard_jnp
 
                     out, _cnt = scan_shard_jnp(
@@ -91,8 +156,36 @@ class Matcher:
         """Flat [(position, global pattern id)] in reference output order."""
         if input_size is None:
             input_size = len(data)
+        if self.engine == "turbo":
+            flats = self._match_flat_turbo(data, input_size)
+            return merge_flat_matches(self.compiled, flats, input_size)
         rows = self.match_rows(data, input_size=input_size)
         return merge_match_rows(self.compiled, rows, input_size)
+
+    def count_matches(self, data: bytes, *, input_size: int | None = None):
+        """Per-position match counts (benchmark mode, turbo engine)."""
+        from phfpfac_tpu.ops.turbo_jnp import scan_shard_turbo
+
+        if input_size is None:
+            input_size = len(data)
+        max_steps = padded_steps(self.compiled.max_pat_len)
+        padded = pad_input(data, _POS_PAD, max_steps)
+        n_pos = len(padded) - max_steps
+        total = np.zeros(n_pos, dtype=np.int64)
+        for shard, tt in zip(self.compiled.shards, self._get_turbo_tables()):
+            _full, cnt, _tail, tail_pos, tail_cnt, overflow = scan_shard_turbo(
+                shard, padded, input_size, self.config,
+                max_steps=max_steps, full_steps=self.turbo_full_steps,
+                cap_frac=self.turbo_cap_frac, emit_counts=True,
+                turbo_tables=tt,
+            )
+            if bool(np.asarray(overflow)):
+                rows = self._dense_rows_one_shard(shard, padded, input_size)
+                total += (rows >= 0).sum(axis=1)
+            else:
+                total += np.asarray(cnt)
+                np.add.at(total, np.asarray(tail_pos), np.asarray(tail_cnt))
+        return total[:input_size]
 
     def match_to_text(self, data: bytes, *, input_size: int | None = None) -> str:
         """GPU_match_result.txt-identical text."""

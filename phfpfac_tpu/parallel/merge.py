@@ -53,6 +53,36 @@ def merge_match_rows(
     return np.stack([pos[order], ids[order]], axis=1)
 
 
+def merge_flat_matches(
+    compiled: CompiledDictionary,
+    shard_flat: list[np.ndarray],  # per shard: int64 [m, 3] (pos, step, local)
+    input_size: int,
+) -> np.ndarray:
+    """Merge per-shard flat (pos, step, local-state) matches.
+
+    Same ordering contract as merge_match_rows: (pos, shard, step)."""
+    pos_parts, id_parts, shard_parts, step_parts = [], [], [], []
+    for s, m in enumerate(shard_flat):
+        if m.size == 0:
+            continue
+        keep = m[:, 0] < input_size
+        m = m[keep]
+        pos_parts.append(m[:, 0])
+        step_parts.append(m[:, 1])
+        id_parts.append(
+            compiled.shards[s].pattern_id_map[m[:, 2]].astype(np.int64)
+        )
+        shard_parts.append(np.full(len(m), s, dtype=np.int64))
+    if not pos_parts:
+        return np.empty((0, 2), dtype=np.int64)
+    pos = np.concatenate(pos_parts)
+    ids = np.concatenate(id_parts)
+    shard = np.concatenate(shard_parts)
+    step = np.concatenate(step_parts)
+    order = np.lexsort((step, shard, pos))
+    return np.stack([pos[order], ids[order]], axis=1)
+
+
 def render_result_file(matches: np.ndarray) -> str:
     """Render ``GPU_match_result.txt`` content (main.cc:335-350)."""
     return "".join(

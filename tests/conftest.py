@@ -2,7 +2,12 @@
 
 Multi-chip sharding is validated on a virtual CPU mesh
 (xla_force_host_platform_device_count), mirroring how the driver
-dry-runs the multi-chip path.  Must run before jax initializes.
+dry-runs the multi-chip path.
+
+The environment may pre-register a TPU plugin and force
+JAX_PLATFORMS before this file runs (interpreter-level site hooks),
+so the platform override must go through jax.config, which wins over
+the environment at backend-init time.
 """
 
 import os
@@ -12,12 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-import pathlib
-import sys
+import jax  # noqa: E402
 
-import pytest
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib  # noqa: E402
+import sys  # noqa: E402
+
+import pytest  # noqa: E402
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
