@@ -99,6 +99,7 @@ def build_phf(
     width: int,
     *,
     hashtable_max: int = HASHTABLE_MAX,
+    use_native: bool | None = None,
 ) -> PhfTable:
     """Compress a dense PFAC table ``int32[state_num, 256]`` with FFDM.
 
@@ -112,6 +113,19 @@ def build_phf(
     if width <= 0 or width & (width - 1):
         raise ValueError("width must be a power of two")
     state_num = int(table.shape[0])
+
+    if use_native is not False:
+        from phfpfac_tpu.compile import native
+
+        if native.available():
+            r, ht, val, st = native.ffdm_native(
+                table, width, hashtable_max=hashtable_max
+            )
+            return PhfTable(
+                r=r, ht=ht, val=val, width=width, ht_size=st["ht_size"],
+                num_keys=st["num_keys"], max_key=st["max_key"],
+                max_offset=st["max_offset"],
+            )
 
     flat = np.ascontiguousarray(table, dtype=np.int32).ravel()
     keys = np.flatnonzero(flat >= 0).astype(np.int64)  # ascending

@@ -43,6 +43,7 @@ class ShardTables:
     ht: np.ndarray  # int32 [ht_size]
     val: np.ndarray  # int32 [ht_size]
     pattern_id_map: np.ndarray  # int32 [k] shard-local final -> global 1-based id
+    patterns: list | None = None  # shard's sorted pattern bytes (for bitmap decode)
 
     @property
     def width_bit(self) -> int:
@@ -87,6 +88,11 @@ class CompiledDictionary:
             )
             for name in ("s0", "r", "ht", "val", "pattern_id_map"):
                 arrays[f"shard{i}_{name}"] = getattr(sh, name)
+            if sh.patterns is not None:
+                blob = b"".join(sh.patterns)
+                offs = np.cumsum([0] + [len(p) for p in sh.patterns])
+                arrays[f"shard{i}_patblob"] = np.frombuffer(blob, dtype=np.uint8).copy()
+                arrays[f"shard{i}_patoffs"] = offs.astype(np.int64)
         arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode("utf-8"), dtype=np.uint8
         )
@@ -110,6 +116,17 @@ class CompiledDictionary:
                         ht=z[f"shard{i}_ht"],
                         val=z[f"shard{i}_val"],
                         pattern_id_map=z[f"shard{i}_pattern_id_map"],
+                        patterns=(
+                            [
+                                bytes(z[f"shard{i}_patblob"][a:b])
+                                for a, b in zip(
+                                    z[f"shard{i}_patoffs"][:-1],
+                                    z[f"shard{i}_patoffs"][1:],
+                                )
+                            ]
+                            if f"shard{i}_patblob" in z
+                            else None
+                        ),
                     )
                 )
         return cls(
@@ -154,7 +171,9 @@ def compile_patterns(
         phf = build_phf(trie.table, config.width)
         if verbose:
             print(phf.stats_report())
-        shards.append(_shard_to_tables(trie, phf))
+        st = _shard_to_tables(trie, phf)
+        st.patterns = [p.data for p in sp]
+        shards.append(st)
         max_pat_len = max(max_pat_len, trie.max_pat_len)
     return CompiledDictionary(
         shards=shards,

@@ -55,9 +55,33 @@ class TrieTables:
         return self.table[self.initial_state]
 
 
-def build_pfac_trie(shard_patterns: list[Pattern]) -> TrieTables:
-    """Build the failureless-AC dense table for one shard of sorted patterns."""
+def build_pfac_trie(
+    shard_patterns: list[Pattern], *, use_native: bool | None = None
+) -> TrieTables:
+    """Build the failureless-AC dense table for one shard of sorted patterns.
+
+    Uses the C++ implementation (compile.native) when available — the
+    per-byte trie insertion is the reference's host hot path
+    (create_table_reorder.c:315-375) — with this NumPy version as the
+    portable fallback and semantics oracle.
+    """
     k = len(shard_patterns)
+    if use_native is not False and k:
+        from phfpfac_tpu.compile import native
+
+        if native.available():
+            table, state_num, max_len = native.build_trie_native(
+                [p.data for p in shard_patterns]
+            )
+            return TrieTables(
+                table=table,
+                state_num=state_num,
+                final_state_num=k,
+                max_pat_len=max_len,
+                pattern_id_map=np.array(
+                    [p.pattern_id for p in shard_patterns], dtype=np.int32
+                ),
+            )
     initial_state = k + 1
     state_count = initial_state + 1  # next state to allocate
 

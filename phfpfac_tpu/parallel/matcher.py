@@ -150,6 +150,39 @@ class Matcher:
                 rows.append(np.asarray(out))
         return rows
 
+    def _match_flat_pallas(self, data: bytes, input_size: int) -> list:
+        """Per-shard flat matches via the pallas banked-LUT kernel.
+
+        Emits per-position match bitmaps on device; shard-local states
+        are recovered from the matched substrings (ops.bitmap)."""
+        from phfpfac_tpu.ops.bitmap import build_substring_index, decode_bitmap
+        from phfpfac_tpu.ops.pallas_scan import PallasShardScanner
+
+        max_steps = padded_steps(self.compiled.max_pat_len)
+        padded = pad_input(data, _POS_PAD, max_steps)
+        flats = []
+        with self.timer.phase("match"):
+            for shard in self.compiled.shards:
+                if shard.patterns is None:
+                    raise ValueError("pallas engine needs shard.patterns")
+                scanner = PallasShardScanner(
+                    shard, interpret=self.config.interpret
+                )
+                _cnt, bits = scanner.scan(
+                    padded, input_size, self.config, max_steps
+                )
+                from phfpfac_tpu.frontend.patterns import Pattern
+
+                index = build_substring_index(
+                    [Pattern(0, p) for p in shard.patterns]
+                )
+                flats.append(
+                    decode_bitmap(
+                        np.asarray(bits), data, input_size, index, max_steps
+                    )
+                )
+        return flats
+
     def match(
         self, data: bytes, *, input_size: int | None = None
     ) -> np.ndarray:
@@ -158,6 +191,9 @@ class Matcher:
             input_size = len(data)
         if self.engine == "turbo":
             flats = self._match_flat_turbo(data, input_size)
+            return merge_flat_matches(self.compiled, flats, input_size)
+        if self.engine == "pallas":
+            flats = self._match_flat_pallas(data, input_size)
             return merge_flat_matches(self.compiled, flats, input_size)
         rows = self.match_rows(data, input_size=input_size)
         return merge_match_rows(self.compiled, rows, input_size)

@@ -1,0 +1,87 @@
+"""C++ host compiler parity vs the NumPy reference implementations."""
+
+import numpy as np
+import pytest
+
+from phfpfac_tpu.compile import native
+from phfpfac_tpu.compile.phf import build_phf
+from phfpfac_tpu.compile.trie import build_pfac_trie
+from phfpfac_tpu.frontend.patterns import Pattern, sort_patterns
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+def P(i, b):
+    return Pattern(pattern_id=i, data=b)
+
+
+def _random_patterns(seed, n, alpha_lo=97, alpha_hi=110, max_len=12):
+    rng = np.random.default_rng(seed)
+    raw = list(
+        dict.fromkeys(
+            bytes(rng.integers(alpha_lo, alpha_hi, rng.integers(1, max_len))
+                  .astype(np.uint8))
+            for _ in range(n)
+        )
+    )
+    return sort_patterns([P(i + 1, b) for i, b in enumerate(raw)])
+
+
+@needs_native
+class TestNativeParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_trie_exact_match(self, seed):
+        pats = _random_patterns(seed, 80)
+        t_np = build_pfac_trie(pats, use_native=False)
+        t_cc = build_pfac_trie(pats, use_native=True)
+        assert t_cc.state_num == t_np.state_num
+        assert t_cc.max_pat_len == t_np.max_pat_len
+        np.testing.assert_array_equal(t_cc.table, t_np.table)
+        np.testing.assert_array_equal(t_cc.pattern_id_map, t_np.pattern_id_map)
+
+    def test_trie_duplicates_and_prefixes(self):
+        pats = sort_patterns(
+            [P(1, b"ab"), P(2, b"ab"), P(3, b"a"), P(4, b"abc"), P(5, b"b")]
+        )
+        t_np = build_pfac_trie(pats, use_native=False)
+        t_cc = build_pfac_trie(pats, use_native=True)
+        np.testing.assert_array_equal(t_cc.table, t_np.table)
+
+    @pytest.mark.parametrize("width", [64, 256, 1024, 4096])
+    def test_ffdm_exact_match(self, width):
+        pats = _random_patterns(7, 60)
+        trie = build_pfac_trie(pats, use_native=False)
+        p_np = build_phf(trie.table, width, use_native=False)
+        p_cc = build_phf(trie.table, width, use_native=True)
+        assert p_cc.ht_size == p_np.ht_size
+        assert p_cc.num_keys == p_np.num_keys
+        assert p_cc.max_key == p_np.max_key
+        assert p_cc.max_offset == p_np.max_offset
+        np.testing.assert_array_equal(p_cc.r, p_np.r)
+        np.testing.assert_array_equal(p_cc.ht, p_np.ht)
+        np.testing.assert_array_equal(p_cc.val, p_np.val)
+
+    def test_ffdm_binary_alphabet(self):
+        rng = np.random.default_rng(3)
+        raw = list(
+            dict.fromkeys(
+                bytes(rng.integers(0, 256, rng.integers(1, 7)).astype(np.uint8))
+                for _ in range(40)
+            )
+        )
+        pats = sort_patterns([P(i + 1, b) for i, b in enumerate(raw)])
+        trie = build_pfac_trie(pats, use_native=False)
+        for width in (256, 2048):
+            p_np = build_phf(trie.table, width, use_native=False)
+            p_cc = build_phf(trie.table, width, use_native=True)
+            np.testing.assert_array_equal(p_cc.ht, p_np.ht)
+            np.testing.assert_array_equal(p_cc.r, p_np.r)
+
+    def test_native_speedup_path_used_by_default(self):
+        # the default pipeline should route through native when available
+        pats = _random_patterns(11, 30)
+        t_def = build_pfac_trie(pats)
+        t_np = build_pfac_trie(pats, use_native=False)
+        np.testing.assert_array_equal(t_def.table, t_np.table)
