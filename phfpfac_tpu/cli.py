@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scan all filesize bytes (reference scans filesize-1)")
     p.add_argument("--escapes", action="store_true",
                    help="decode \\xNN, \\ooo and C escapes in patterns (fgetc_ext)")
+    p.add_argument("--charset", action="store_true",
+                   help="enable [a-z] / [^...] charset classes in patterns "
+                        "(NFA->DFA frontend; single shard)")
     p.add_argument("--save-tables", default=None,
                    help="serialize compiled tables to this .npz path")
     p.add_argument("--load-tables", default=None,
@@ -62,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     num_shards = args.num_shards or 4 * args.streamnum
+    if args.charset:
+        num_shards = 1  # charset DFAs compile as one shard
     cfg = PfacConfig(
         width=args.width,
         num_shards=num_shards,
@@ -75,6 +80,13 @@ def main(argv: list[str] | None = None) -> int:
             from phfpfac_tpu.compile.tables import CompiledDictionary
 
             compiled = CompiledDictionary.load(args.load_tables)
+        elif args.charset:
+            from phfpfac_tpu.compile.tables import compile_class_patterns
+            from phfpfac_tpu.frontend.charset import read_class_patterns
+
+            compiled = compile_class_patterns(
+                read_class_patterns(args.pattern_file), cfg
+            )
         else:
             compiled = compile_dictionary(
                 args.pattern_file, cfg, escapes=args.escapes,

@@ -44,6 +44,7 @@ class ShardTables:
     val: np.ndarray  # int32 [ht_size]
     pattern_id_map: np.ndarray  # int32 [k] shard-local final -> global 1-based id
     patterns: list | None = None  # shard's sorted pattern bytes (for bitmap decode)
+    output_lists: dict | None = None  # final -> ALL global ids (charset multi-output)
 
     @property
     def width_bit(self) -> int:
@@ -179,6 +180,41 @@ def compile_patterns(
         shards=shards,
         max_pat_len=max_pat_len,
         num_patterns=len(patterns),
+        width=config.width,
+    )
+
+
+def compile_class_patterns(class_patterns, config: PfacConfig) -> CompiledDictionary:
+    """Compile charset-class patterns (frontend.charset) into device tables.
+
+    The determinized automaton is a single shard (the reference's
+    charset pipeline predates sharding; splitting a subset-construction
+    DFA is future work).  Multi-output final states are carried in
+    ``output_lists`` and expanded at merge time.
+    """
+    from phfpfac_tpu.frontend.charset import build_class_trie
+
+    if config.num_shards != 1:
+        raise ValueError("charset dictionaries compile as a single shard")
+    ct = build_class_trie(class_patterns)
+    phf = build_phf(ct.table, config.width)
+    shard = ShardTables(
+        state_num=ct.state_num,
+        final_state_num=ct.final_state_num,
+        max_pat_len=ct.max_pat_len,
+        width=phf.width,
+        ht_size=phf.ht_size,
+        s0=np.ascontiguousarray(ct.table[ct.initial_state], dtype=np.int32),
+        r=phf.r,
+        ht=phf.ht if phf.ht_size else np.full(1, -1, np.int32),
+        val=phf.val if phf.ht_size else np.full(1, -1, np.int32),
+        pattern_id_map=ct.pattern_id_map,
+        output_lists=ct.output_lists,
+    )
+    return CompiledDictionary(
+        shards=[shard],
+        max_pat_len=ct.max_pat_len,
+        num_patterns=len(class_patterns),
         width=config.width,
     )
 

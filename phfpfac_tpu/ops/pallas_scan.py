@@ -108,10 +108,11 @@ def recommended_shards(num_patterns: int, target_states: int = 900) -> int:
     return max(1, math.ceil(est_states / target_states))
 
 
-def _lut(banks_ref, idx, nb: int):
-    """Banked 128-lane LUT: result[i] = banks.ravel()[idx[i]].
+def _lut(banks_ref, idx, nb: int, off: int = 0):
+    """Banked 128-lane LUT: result[i] = banks[off:off+nb].ravel()[idx[i]].
 
-    ``idx`` is an (8,128) int32 tile with values in [0, nb*128).
+    ``idx`` is an (8,128) int32 tile with values in [0, nb*128); an
+    out-of-range index selects no bank and yields -1 (miss).
     Cost: nb x (lane-gather + compare + select).
     """
     # arithmetic shift keeps negative idx out of every bank -> miss
@@ -119,7 +120,7 @@ def _lut(banks_ref, idx, nb: int):
     lane = idx & (_LANE - 1)
     acc = jnp.full(idx.shape, -1, dtype=jnp.int32)
     for k in range(nb):
-        row = jnp.broadcast_to(banks_ref[k, :][None, :], idx.shape)
+        row = jnp.broadcast_to(banks_ref[off + k, :][None, :], idx.shape)
         g = jnp.take_along_axis(row, lane, axis=1)
         acc = jnp.where(bank == k, g, acc)
     return acc
@@ -328,6 +329,291 @@ def pallas_count_scanner(shard: ShardTables, max_steps: int, *, interpret=False)
             seg_bytes=0, halo_bytes=0,
             emit_bitmap=False,
             interpret=interpret,
+        )
+        n_pos = cnt.shape[0]
+        keep = jnp.arange(n_pos, dtype=jnp.int32) >= shift
+        return jnp.where(keep, cnt, 0).sum()
+
+    return scan
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-shard kernel: all dictionary shards walk per grid cell in
+# one pallas_call (one launch, shared char-window staging), each shard
+# keeping its own early-exit while-loop.  This is the TPU replacement
+# for the reference's streamnum-shards-per-GPU concurrency
+# (main.cc:225-241): instead of CUDA streams multiplexing one device,
+# the shard loop is fused into the kernel and pipelining happens across
+# grid cells.
+# ---------------------------------------------------------------------------
+
+
+def _make_multi_kernel(
+    specs, *, max_steps, seg_bytes, halo_bytes, emit_bitmap,
+    tiles_per_cell: int, unroll: int,
+):
+    """specs: per-shard dict(width_bit,row_bits,dead,num_final,
+    s0_off,nb_s0,r_off,nb_r,p_off,nb_p) — all static.
+
+    Per grid cell, ``tiles_per_cell`` (8,128) position tiles step in
+    lockstep and the walk loop advances ``unroll`` probes per while
+    iteration: the while-loop's fixed per-iteration cost (measured
+    ~0.3-0.5 us on v5e) dominates the banked-LUT vector work, so
+    amortizing it across more lanes and steps is the main lever.
+    Overshot steps are no-ops (dead walks stay dead through the same
+    data path; the bit shift is clamped).
+    """
+    tpc = tiles_per_cell
+
+    def kernel(in_ref, size_ref, s0_ref, r_ref, packed_ref, cnt_ref, bits_ref):
+        from jax.experimental import pallas as pl
+
+        cell = pl.program_id(0)
+        input_size = size_ref[0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+        lane_next = (lane + 1) & (_LANE - 1)  # constant roll index
+        at_127 = lane == (_LANE - 1)
+
+        block = in_ref[pl.ds(cell * _SUB * tpc, _SUB * tpc + 1), :]
+        a_s = [block[i * _SUB : (i + 1) * _SUB, :] for i in range(tpc)]
+        b_s = [block[i * _SUB + 1 : (i + 1) * _SUB + 1, :] for i in range(tpc)]
+        pos_s, lim_s = [], []
+        for i in range(tpc):
+            pos = (cell * tpc + i) * TILE + sub * _LANE + lane
+            pos_s.append(pos)
+            if seg_bytes > 0:
+                seg_end = (pos // seg_bytes + 1) * seg_bytes
+                lim_s.append(jnp.minimum(input_size, seg_end + halo_bytes))
+            else:
+                lim_s.append(jnp.minimum(input_size, pos + max_steps))
+
+        total_cnt = [jnp.zeros((_SUB, _LANE), jnp.int32) for _ in range(tpc)]
+        for si, sp in enumerate(specs):
+            width_m1 = (1 << sp["width_bit"]) - 1
+            row_mask = (1 << sp["row_bits"]) - 1
+            dead = sp["dead"]
+            num_final = sp["num_final"]
+
+            sts, cnts, bitss = [], [], []
+            for i in range(tpc):
+                st = jnp.where(
+                    pos_s[i] < input_size,
+                    _lut(s0_ref, a_s[i], sp["nb_s0"], sp["s0_off"]),
+                    dead,
+                )
+                fin = st < num_final
+                sts.append(st)
+                cnts.append(fin.astype(jnp.int32))
+                bitss.append(fin.astype(jnp.int32))
+
+            def cond(carry):
+                t, _curs, sts, _cnts, _bits = carry
+                alive = sts[0] != dead
+                for st in sts[1:]:
+                    alive = alive | (st != dead)
+                return (t < max_steps) & jnp.any(alive)
+
+            def step_one(t, i, cur, st, cnt, bits, sp=sp, dead=dead,
+                         num_final=num_final, width_m1=width_m1,
+                         row_mask=row_mask):
+                # incremental shifted window: cur_t = roll(cur, -1) with
+                # lane 127 refilled from the halo row's column t-1
+                rolled = jnp.take_along_axis(cur, lane_next, axis=1)
+                bcol = jnp.take_along_axis(
+                    b_s[i],
+                    jnp.broadcast_to((t - 1) & (_LANE - 1), (_SUB, _LANE)),
+                    axis=1,
+                )
+                cur = jnp.where(at_127, bcol, rolled)
+                st = jnp.where(pos_s[i] + t < lim_s[i], st, dead)
+                key = (st << 8) + cur
+                row = jax.lax.shift_right_logical(key, sp["width_bit"])
+                col = key & width_m1
+                idx = _lut(r_ref, row, sp["nb_r"], sp["r_off"]) + col
+                g = _lut(packed_ref, idx, sp["nb_p"], sp["p_off"])
+                hit = (g & row_mask) == row
+                st = jnp.where(
+                    hit, jax.lax.shift_right_logical(g, sp["row_bits"]), dead
+                )
+                fin = st < num_final
+                cnt = cnt + fin.astype(jnp.int32)
+                if emit_bitmap:
+                    tb = jnp.minimum(t, MAX_BITMAP_STEPS - 1)
+                    bits = bits | jnp.where(fin, jnp.int32(1) << tb, 0)
+                return cur, st, cnt, bits
+
+            def body(carry):
+                t, curs, sts, cnts, bitss = carry
+                curs, sts, cnts, bitss = (
+                    list(curs), list(sts), list(cnts), list(bitss)
+                )
+                for u in range(unroll):
+                    for i in range(tpc):
+                        curs[i], sts[i], cnts[i], bitss[i] = step_one(
+                            t + u, i, curs[i], sts[i], cnts[i], bitss[i]
+                        )
+                return (
+                    t + unroll, tuple(curs), tuple(sts),
+                    tuple(cnts), tuple(bitss),
+                )
+
+            _t, _curs, _sts, cnts, bitss = jax.lax.while_loop(
+                cond,
+                body,
+                (jnp.int32(1), tuple(a_s), tuple(sts),
+                 tuple(cnts), tuple(bitss)),
+            )
+            for i in range(tpc):
+                total_cnt[i] = total_cnt[i] + cnts[i]
+                if emit_bitmap:
+                    bits_ref[si, pl.ds(i * _SUB, _SUB), :] = bitss[i]
+        for i in range(tpc):
+            cnt_ref[pl.ds(i * _SUB, _SUB), :] = total_cnt[i]
+        if not emit_bitmap:
+            bits_ref[0, :, :] = jnp.zeros((tpc * _SUB, _LANE), jnp.int32)
+
+    return kernel
+
+
+class MultiShardScanner:
+    """All shards in one fused pallas kernel.
+
+    scan(data_padded, input_size, cfg, max_steps, emit_bitmap) ->
+      (counts [n_pos] summed over shards,
+       bitmaps [num_shards, n_pos] or None)
+    """
+
+    def __init__(self, shards: list[ShardTables], *, interpret: bool = False):
+        self.pts = [PallasTables(sh) for sh in shards]
+        self.interpret = interpret
+        self.specs = []
+        s0s, rs, ps = [], [], []
+        s0_off = r_off = p_off = 0
+        for pt in self.pts:
+            self.specs.append(
+                dict(
+                    width_bit=pt.width_bit, row_bits=pt.row_bits,
+                    dead=pt.dead, num_final=pt.num_final,
+                    s0_off=s0_off, nb_s0=pt.s0.shape[0],
+                    r_off=r_off, nb_r=pt.r.shape[0],
+                    p_off=p_off, nb_p=pt.packed.shape[0],
+                )
+            )
+            s0s.append(pt.s0)
+            rs.append(pt.r)
+            ps.append(pt.packed)
+            s0_off += pt.s0.shape[0]
+            r_off += pt.r.shape[0]
+            p_off += pt.packed.shape[0]
+        self.s0_banks = np.concatenate(s0s)
+        self.r_banks = np.concatenate(rs)
+        self.p_banks = np.concatenate(ps)
+
+    def scan(self, data_padded, input_size, cfg, max_steps, *, emit_bitmap=True):
+        if emit_bitmap and max_steps > MAX_BITMAP_STEPS:
+            raise ValueError(
+                f"pallas bitmap path supports max_pat_len <= "
+                f"{MAX_BITMAP_STEPS}, got steps {max_steps}"
+            )
+        seg = cfg.segment_bytes if cfg.truncation == "segment" else 0
+        cnt, bits = _pallas_scan_multi(
+            jnp.asarray(data_padded),
+            jnp.asarray(np.int32(input_size)),
+            jnp.asarray(self.s0_banks),
+            jnp.asarray(self.r_banks),
+            jnp.asarray(self.p_banks),
+            specs=tuple(tuple(sorted(s.items())) for s in self.specs),
+            max_steps=max_steps,
+            seg_bytes=seg,
+            halo_bytes=cfg.halo_bytes,
+            emit_bitmap=emit_bitmap,
+            interpret=self.interpret,
+        )
+        return cnt, (bits if emit_bitmap else None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "specs", "max_steps", "seg_bytes", "halo_bytes",
+        "emit_bitmap", "interpret",
+    ),
+)
+def _pallas_scan_multi(
+    data, input_size, s0_banks, r_banks, packed_banks,
+    *, specs, max_steps, seg_bytes, halo_bytes, emit_bitmap, interpret,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec_dicts = [dict(s) for s in specs]
+    n_shards = len(spec_dicts)
+    n_pos = data.shape[0] - max_steps
+    assert n_pos % TILE == 0
+    n_tiles = n_pos // TILE
+    tpc = 1
+    for cand in (8, 4, 2):
+        if n_tiles % cand == 0:
+            tpc = cand
+            break
+    n_cells = n_tiles // tpc
+
+    n_rows = n_tiles * _SUB + 1
+    flat = jnp.zeros((n_rows * _LANE,), jnp.int32).at[: data.shape[0]].set(
+        data.astype(jnp.int32)
+    )
+    data2d = flat.reshape(n_rows, _LANE)
+
+    kernel = _make_multi_kernel(
+        spec_dicts, max_steps=max_steps, seg_bytes=seg_bytes,
+        halo_bytes=halo_bytes, emit_bitmap=emit_bitmap,
+        tiles_per_cell=tpc, unroll=2,
+    )
+    nbit = n_shards if emit_bitmap else 1
+    rows_pc = tpc * _SUB
+
+    cnt, bits = pl.pallas_call(
+        kernel,
+        grid=(n_cells,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows_pc, _LANE), lambda i: (i, 0)),
+            pl.BlockSpec((nbit, rows_pc, _LANE), lambda i: (0, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_cells * rows_pc, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((nbit, n_cells * rows_pc, _LANE), jnp.int32),
+        ),
+        interpret=interpret,
+    )(data2d, input_size.reshape(1), s0_banks, r_banks, packed_banks)
+    return cnt.reshape(-1), bits.reshape(nbit, -1)
+
+
+def multi_count_scanner(
+    shards: list[ShardTables], max_steps: int, cfg, *, interpret=False
+):
+    """Fused count-mode scan fn(data, input_size, shift) -> total."""
+    ms = MultiShardScanner(shards, interpret=interpret)
+    seg = cfg.segment_bytes if cfg.truncation == "segment" else 0
+
+    @jax.jit
+    def scan(data, input_size, shift):
+        cnt, _ = _pallas_scan_multi(
+            data,
+            jnp.asarray(input_size, jnp.int32),
+            jnp.asarray(ms.s0_banks), jnp.asarray(ms.r_banks),
+            jnp.asarray(ms.p_banks),
+            specs=tuple(tuple(sorted(s.items())) for s in ms.specs),
+            max_steps=max_steps, seg_bytes=seg, halo_bytes=cfg.halo_bytes,
+            emit_bitmap=False, interpret=interpret,
         )
         n_pos = cnt.shape[0]
         keep = jnp.arange(n_pos, dtype=jnp.int32) >= shift

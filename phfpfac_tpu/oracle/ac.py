@@ -88,3 +88,33 @@ def match_oracle(
     """Flat [(position, global pattern id)] in output-file order."""
     per_pos = oracle_match_lists(patterns, data, cfg, input_size=input_size)
     return [(pos, pid) for pos, pids in enumerate(per_pos) for pid in pids]
+
+
+def match_oracle_charset(
+    class_patterns,  # list[frontend.charset.ClassPattern]
+    data: bytes,
+    cfg: PfacConfig,
+    *,
+    input_size: int | None = None,
+) -> list[tuple[int, int]]:
+    """Brute-force oracle for charset-class dictionaries.
+
+    Engine ordering contract: per position, increasing match length;
+    equal-length matches (same DFA final state) in pattern file order
+    (the subset construction collects outputs in ascending NFA id =
+    insertion order, charset_table_reorder.c:404-411)."""
+    if input_size is None:
+        input_size = len(data)
+    out: list[tuple[int, int]] = []
+    for pos in range(input_size):
+        found: list[tuple[int, int]] = []  # (len, id)
+        for cp in class_patterns:
+            L = len(cp.classes)
+            limit = _walk_limit(pos, input_size, L, cfg)
+            if pos + L > limit:
+                continue
+            if all(data[pos + j] in cls for j, cls in enumerate(cp.classes)):
+                found.append((L, cp.pattern_id))
+        found.sort()  # by length, then id (== file order)
+        out.extend((pos, pid) for _L, pid in found)
+    return out

@@ -50,6 +50,7 @@ class Matcher:
         self.turbo_full_steps = turbo_full_steps
         self.turbo_cap_frac = turbo_cap_frac
         self._turbo_tables = None
+        self._pallas_scanner = None
 
     def _get_turbo_tables(self):
         if self._turbo_tables is None:
@@ -155,31 +156,24 @@ class Matcher:
 
         Emits per-position match bitmaps on device; shard-local states
         are recovered from the matched substrings (ops.bitmap)."""
-        from phfpfac_tpu.ops.bitmap import build_substring_index, decode_bitmap
-        from phfpfac_tpu.ops.pallas_scan import PallasShardScanner
+        from phfpfac_tpu.ops.bitmap import decode_bitmap
+        from phfpfac_tpu.ops.pallas_scan import MultiShardScanner
 
         max_steps = padded_steps(self.compiled.max_pat_len)
         padded = pad_input(data, _POS_PAD, max_steps)
+        if self._pallas_scanner is None:
+            self._pallas_scanner = MultiShardScanner(
+                self.compiled.shards, interpret=self.config.interpret
+            )
         flats = []
         with self.timer.phase("match"):
-            for shard in self.compiled.shards:
-                if shard.patterns is None:
-                    raise ValueError("pallas engine needs shard.patterns")
-                scanner = PallasShardScanner(
-                    shard, interpret=self.config.interpret
-                )
-                _cnt, bits = scanner.scan(
-                    padded, input_size, self.config, max_steps
-                )
-                from phfpfac_tpu.frontend.patterns import Pattern
-
-                index = build_substring_index(
-                    [Pattern(0, p) for p in shard.patterns]
-                )
+            _cnt, bits = self._pallas_scanner.scan(
+                padded, input_size, self.config, max_steps
+            )
+            bits = np.asarray(bits)
+            for s, shard in enumerate(self.compiled.shards):
                 flats.append(
-                    decode_bitmap(
-                        np.asarray(bits), data, input_size, index, max_steps
-                    )
+                    decode_bitmap(bits[s], data, input_size, shard, max_steps)
                 )
         return flats
 

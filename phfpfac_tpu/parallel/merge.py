@@ -17,7 +17,33 @@ from __future__ import annotations
 
 import numpy as np
 
-from phfpfac_tpu.compile.tables import CompiledDictionary
+from phfpfac_tpu.compile.tables import CompiledDictionary, ShardTables
+
+
+def _map_ids(shard: ShardTables, local: np.ndarray):
+    """Map shard-local final states to global ids, expanding charset
+    multi-output finals (frontend.charset).  Returns (take, ids, sub):
+    row m of the input expands to rows where take==m, with output-list
+    order in ``sub``."""
+    if not shard.output_lists:
+        take = np.arange(len(local), dtype=np.int64)
+        return take, shard.pattern_id_map[local].astype(np.int64), np.zeros(
+            len(local), dtype=np.int64
+        )
+    take, ids, sub = [], [], []
+    for m, st in enumerate(local):
+        lst = shard.output_lists.get(int(st))
+        if lst is None:
+            lst = [int(shard.pattern_id_map[st])]
+        for j, pid in enumerate(lst):
+            take.append(m)
+            ids.append(pid)
+            sub.append(j)
+    return (
+        np.asarray(take, dtype=np.int64),
+        np.asarray(ids, dtype=np.int64),
+        np.asarray(sub, dtype=np.int64),
+    )
 
 
 def merge_match_rows(
@@ -38,11 +64,11 @@ def merge_match_rows(
         if p.size == 0:
             continue
         local = rows[p, j]
-        ids = compiled.shards[s].pattern_id_map[local]
-        pos_parts.append(p)
-        id_parts.append(ids.astype(np.int64))
-        shard_parts.append(np.full(p.size, s, dtype=np.int64))
-        slot_parts.append(j)
+        take, ids, sub = _map_ids(compiled.shards[s], local)
+        pos_parts.append(p[take])
+        id_parts.append(ids)
+        shard_parts.append(np.full(take.size, s, dtype=np.int64))
+        slot_parts.append(j[take] * 64 + sub)
     if not pos_parts:
         return np.empty((0, 2), dtype=np.int64)
     pos = np.concatenate(pos_parts)
@@ -67,12 +93,11 @@ def merge_flat_matches(
             continue
         keep = m[:, 0] < input_size
         m = m[keep]
-        pos_parts.append(m[:, 0])
-        step_parts.append(m[:, 1])
-        id_parts.append(
-            compiled.shards[s].pattern_id_map[m[:, 2]].astype(np.int64)
-        )
-        shard_parts.append(np.full(len(m), s, dtype=np.int64))
+        take, ids, sub = _map_ids(compiled.shards[s], m[:, 2])
+        pos_parts.append(m[take, 0])
+        step_parts.append(m[take, 1] * 64 + sub)
+        id_parts.append(ids)
+        shard_parts.append(np.full(take.size, s, dtype=np.int64))
     if not pos_parts:
         return np.empty((0, 2), dtype=np.int64)
     pos = np.concatenate(pos_parts)
