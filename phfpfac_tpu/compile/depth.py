@@ -1,0 +1,348 @@
+"""Depth-stratified PFAC tables — the layout behind the fast TPU kernel.
+
+The banked-LUT probe cost on TPU is linear in the probed table's size
+(ops.pallas_scan._lut: ~3 vector ops per 128 table entries), and the
+reference-shaped PHF (one table for the whole automaton,
+master_kernel.cu:52-64) makes every walk step pay for the WHOLE
+dictionary.  But a PFAC trie is a tree: after t probes a live walk is
+at depth exactly t+1, so step t can only ever probe transitions out of
+depth-t states.  Stratifying the transition table by depth means a
+full walk pays the total table cost once, spread across steps, instead
+of per step — an asymptotic win of ~(average walk depth)x.
+
+Two further layout tricks remove the r[] displacement lookup entirely:
+
+* **Distinct displacements.**  The per-depth FFDM variant here forbids
+  two rows (states) from sharing a displacement.  Then a slot index
+  ``disp + c`` uniquely determines the owning (state, char) key, so
+  probe verification reduces to comparing the stored char — no row id
+  needed (the reference verifies with HT[idx] == row,
+  master_kernel.cu:56-64).
+* **Displacement chaining.**  Each table value carries the NEXT
+  state's displacement into the next depth's table (instead of the
+  state id), so the device walk is
+      idx = disp + c;  g = T_t[idx]
+      hit = g >= 0 and (g & 0xFF) == c
+      disp' = g >> 9;  final = (g >> 8) & 1
+  with no separate r[] gather per step.
+
+Entry layout (int32): ``(next_disp << 9) | (is_final << 8) | char``,
+with ``next_disp == DISP_MISS`` (all-ones, 22 bits) for walks that
+must die next step (leaf states, deepest level).  Empty slots are -1;
+the verify char can never equal the miss sentinel's low byte because
+the ``g >= 0`` term rejects it first.
+
+Applies to plain-pattern tries (trees).  Charset-class DFAs (DAGs —
+states reachable at several depths) raise ``DepthUnsupported`` and
+fall back to the generic kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from phfpfac_tpu.compile.tables import ShardTables
+
+_LANE = 128
+
+DISP_BITS = 22
+DISP_MISS = (1 << DISP_BITS) - 1
+MAX_DEPTH_STEPS = 32  # bitmap width; matches ops.pallas_scan.MAX_BITMAP_STEPS
+
+
+class DepthUnsupported(ValueError):
+    """The automaton cannot be depth-stratified (not a tree / too deep)."""
+
+
+_EMPTY = -(1 << 60)  # "row has no keys" sentinel in _layout_distinct
+
+
+@dataclass
+class DepthTables:
+    """Banked per-depth tables for the depth kernel (one shard)."""
+
+    s0_banks: np.ndarray  # int32 (2, 128): (disp<<1)|fin per char, -1 none
+    packed_banks: np.ndarray  # int32 (NB, 128): concat of T_1..T_{D-1}
+    offs: tuple  # bank offset of T_t within packed_banks, t = 1..D-1
+    nbs: tuple  # bank count of T_t
+    n_steps: int  # D = deepest pattern length = total walk steps (incl s0)
+    max_pat_len: int
+    num_final: int
+
+
+def _reconstruct_dense(shard: ShardTables) -> np.ndarray:
+    """Dense int32 [state_num, 256] table via vectorized PHF probes."""
+    state_num = shard.state_num
+    keys = np.arange(state_num * 256, dtype=np.int64)
+    row = keys >> shard.width_bit
+    col = keys & (shard.width - 1)
+    row_ok = row < len(shard.r)
+    idx = np.where(row_ok, shard.r[np.minimum(row, len(shard.r) - 1)], -1) + col
+    ok = row_ok & (idx >= 0) & (idx < shard.ht_size)
+    idx_c = np.clip(idx, 0, max(shard.ht_size - 1, 0))
+    ok &= shard.ht[idx_c] == row
+    dense = np.where(ok, shard.val[idx_c], -1).astype(np.int32)
+    return dense.reshape(state_num, 256)
+
+
+def _bfs_levels(dense: np.ndarray, init: int) -> list[np.ndarray]:
+    """Levels of the trie: levels[i] = sorted states at depth i+1.
+
+    Raises DepthUnsupported if any state is reachable twice (the
+    automaton is a DAG, not a tree — e.g. a determinized charset NFA).
+    """
+    depth = np.full(dense.shape[0], -1, dtype=np.int64)
+    depth[init] = 0
+    levels: list[np.ndarray] = []
+    cur = np.array([init], dtype=np.int64)
+    while True:
+        rows = dense[cur]
+        ns = rows[rows >= 0].astype(np.int64)
+        if ns.size == 0:
+            break
+        uniq = np.unique(ns)
+        if uniq.size != ns.size or (depth[uniq] >= 0).any():
+            raise DepthUnsupported("automaton is not a tree")
+        depth[uniq] = len(levels) + 1
+        levels.append(uniq)
+        cur = uniq
+        if len(levels) > MAX_DEPTH_STEPS:
+            raise DepthUnsupported("trie deeper than the bitmap width")
+    return levels
+
+
+def _layout_distinct(cols_list: list[np.ndarray], cap: int) -> tuple:
+    """First-fit-descending row displacement with DISTINCT offsets.
+
+    Same scheme as compile.phf.build_phf (phf.c:151-291) restricted to
+    width 256 (row = state, col = char), plus the constraint that no
+    two rows share an offset — which is what makes char-only probe
+    verification sound.  Returns (offsets int64 [n] (-1 = empty row),
+    ht_len) with offsets rebased to min 0.
+    """
+    n = len(cols_list)
+    counts = np.array([len(c) for c in cols_list], dtype=np.int64)
+    order = np.argsort(-counts, kind="stable")
+    occ = np.zeros(cap + 512, dtype=bool)
+    used_off = np.zeros(cap + 512, dtype=bool)  # indexed by offset + 256
+    # raw offsets may be negative (down to -255); empty rows keep _EMPTY
+    offsets = np.full(n, _EMPTY, dtype=np.int64)
+    window = 2048
+    for i in order:
+        cols = cols_list[i]
+        if len(cols) == 0:
+            continue
+        start = -int(cols[0])
+        offset = None
+        while start < cap:
+            length = min(window, cap - start)
+            bad = used_off[start + 256 : start + 256 + length].copy()
+            for c in cols:
+                s = start + int(c)
+                bad |= occ[s : s + length]
+            free = np.flatnonzero(~bad)
+            if free.size:
+                offset = start + int(free[0])
+                break
+            start += length
+        if offset is None:
+            raise RuntimeError("distinct-offset layout overflow")
+        occ[offset + cols] = True
+        used_off[offset + 256] = True
+        offsets[i] = offset
+    live = offsets != _EMPTY
+    if live.any():
+        mn = int(offsets[live].min())
+        offsets[live] -= mn
+        ht_len = int(
+            max(
+                offsets[i] + int(cols_list[i][-1])
+                for i in range(n)
+                if live[i]
+            )
+        ) + 1
+    else:
+        ht_len = 1
+    return offsets, ht_len
+
+
+def _layout_with_growth(cols_list: list[np.ndarray]) -> tuple:
+    total = int(sum(len(c) for c in cols_list))
+    cap = max(2048, 4 * total)
+    while True:
+        try:
+            return _layout_distinct(cols_list, cap)
+        except RuntimeError:
+            cap *= 2
+            if cap > (1 << DISP_BITS):
+                raise DepthUnsupported("depth table exceeds disp bits")
+
+
+def _to_banks(flat: np.ndarray) -> np.ndarray:
+    nb = max(1, -(-len(flat) // _LANE))
+    out = np.full((nb, _LANE), -1, dtype=np.int32)
+    out.ravel()[: len(flat)] = flat
+    return out
+
+
+def _minimize_levels(dense: np.ndarray, levels: list[np.ndarray], nf: int):
+    """Level-wise suffix minimization (leveled DAWG).
+
+    States at the same depth with identical right behavior — same
+    finality and transitions leading (recursively) to equivalent
+    states — merge into one class.  The device kernel only ever
+    observes the per-step final flag along a walk, which equivalence
+    preserves exactly; pattern ids are recovered on the host from the
+    UNMERGED tables (ops.bitmap.decode_bitmap), so merging is
+    transparent to match extraction.  For natural-language
+    dictionaries this shrinks the mid-depth tables severalfold
+    (shared suffixes like "...tion"), cutting the banked-LUT probe
+    cost proportionally.
+
+    Returns (class_fin, class_tr, class_of_s0) where, per level index
+    li (depth li+1):
+      class_fin[li][k]   — finality of class k
+      class_tr[li][k]    — list of (char, next-level class) pairs
+      class_of_s0[state] — depth-1 state -> class index (level 0)
+    """
+    D = len(levels)
+    class_fin: list[list[bool]] = [None] * D
+    class_tr: list[list[tuple]] = [None] * D
+    class_of: dict[int, int] = {}  # state -> class idx within its level
+    for li in range(D - 1, -1, -1):
+        states = levels[li]
+        key_to_idx: dict = {}
+        fins: list[bool] = []
+        trs: list[tuple] = []
+        for s in states:
+            s = int(s)
+            row = dense[s]
+            cols = np.flatnonzero(row >= 0)
+            tr = tuple((int(c), class_of[int(row[c])]) for c in cols)
+            key = (s < nf, tr)
+            idx = key_to_idx.get(key)
+            if idx is None:
+                idx = len(trs)
+                key_to_idx[key] = idx
+                fins.append(s < nf)
+                trs.append(tr)
+            class_of[s] = idx
+        class_fin[li] = fins
+        class_tr[li] = trs
+    s0_class = {int(s): class_of[int(s)] for s in levels[0]}
+    return class_fin, class_tr, s0_class
+
+
+def build_depth_tables(shard: ShardTables, *, minimize: bool = True) -> DepthTables:
+    """Stratify one shard's automaton by depth.
+
+    Raises DepthUnsupported for non-tree automata (charset DFAs) or
+    tries deeper than the 32-step bitmap.
+    """
+    if shard.max_pat_len > MAX_DEPTH_STEPS:
+        raise DepthUnsupported("max pattern length exceeds bitmap width")
+    if shard.output_lists is not None:
+        raise DepthUnsupported("charset automaton")
+    nf = shard.final_state_num
+    init = nf + 1
+    if shard.state_num <= init:
+        raise DepthUnsupported("degenerate automaton")
+    dense = _reconstruct_dense(shard)
+    dense[init] = shard.s0  # identical by construction; be explicit
+    levels = _bfs_levels(dense, init)
+    D = len(levels)
+    if D == 0:
+        raise DepthUnsupported("empty automaton")
+
+    if minimize:
+        class_fin, class_tr, s0_class = _minimize_levels(dense, levels, nf)
+    else:  # one class per state (identity partition)
+        class_fin, class_tr, s0_class = [], [], {}
+        idx_of = [
+            {int(s): i for i, s in enumerate(lv)} for lv in levels
+        ]
+        for li in range(D):
+            fins, trs = [], []
+            for s in levels[li]:
+                s = int(s)
+                row = dense[s]
+                cols = np.flatnonzero(row >= 0)
+                trs.append(
+                    tuple(
+                        (int(c), idx_of[li + 1][int(row[c])]) for c in cols
+                    )
+                )
+                fins.append(s < nf)
+            class_fin.append(fins)
+            class_tr.append(trs)
+        s0_class = idx_of[0]
+
+    # Per-depth layouts for T_d (transitions out of depth-d classes),
+    # d = 1..D-1.  class_tr[d-1] holds the depth-d classes.
+    offsets_by_level: list[np.ndarray] = []
+    ht_lens: list[int] = []
+    for d in range(1, D):
+        cols_list = [
+            np.array([c for c, _ in tr], dtype=np.int64)
+            for tr in class_tr[d - 1]
+        ]
+        offsets, ht_len = _layout_with_growth(cols_list)
+        if offsets.max(initial=0) >= DISP_MISS:
+            raise DepthUnsupported("displacement exceeds disp bits")
+        offsets_by_level.append(offsets)
+        ht_lens.append(ht_len)
+
+    def disp_into(cls: int, d: int) -> int:
+        """Displacement a walker landing on a depth-d class carries."""
+        if d >= D:
+            return DISP_MISS
+        off = offsets_by_level[d - 1][cls]
+        return int(off) if off != _EMPTY else DISP_MISS
+
+    # Fill the tables.
+    tables: list[np.ndarray] = []
+    for d in range(1, D):
+        offsets = offsets_by_level[d - 1]
+        tbl = np.full(ht_lens[d - 1], -1, dtype=np.int32)
+        for i, tr in enumerate(class_tr[d - 1]):
+            off = offsets[i]
+            if off == _EMPTY:
+                continue
+            for c, ncls in tr:
+                dispv = disp_into(ncls, d + 1)
+                fin = 1 if class_fin[d][ncls] else 0
+                tbl[off + c] = (dispv << 9) | (fin << 8) | c
+        tables.append(tbl)
+
+    # s0: (disp into T_1 << 1) | fin, -1 when no depth-1 state.
+    s0_flat = np.full(256, -1, dtype=np.int32)
+    for c in range(256):
+        ns = int(shard.s0[c])
+        if ns < 0:
+            continue
+        cls = s0_class[ns]
+        fin = 1 if class_fin[0][cls] else 0
+        s0_flat[c] = (disp_into(cls, 1) << 1) | fin
+
+    banked = [_to_banks(t) for t in tables]
+    offs, nbs, acc = [], [], 0
+    for b in banked:
+        offs.append(acc)
+        nbs.append(b.shape[0])
+        acc += b.shape[0]
+    packed = (
+        np.concatenate(banked)
+        if banked
+        else np.full((1, _LANE), -1, dtype=np.int32)
+    )
+    return DepthTables(
+        s0_banks=_to_banks(s0_flat),
+        packed_banks=packed,
+        offs=tuple(offs),
+        nbs=tuple(nbs),
+        n_steps=D,
+        max_pat_len=shard.max_pat_len,
+        num_final=nf,
+    )

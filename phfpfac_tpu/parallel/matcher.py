@@ -151,30 +151,65 @@ class Matcher:
                 rows.append(np.asarray(out))
         return rows
 
+    def _get_pallas_scanner(self):
+        """Depth-stratified per-shard scanners when the automata allow
+        it (tree tries, max_pat_len <= 32), else the fused banked-LUT
+        multi-shard kernel."""
+        if self._pallas_scanner is None:
+            try:
+                from phfpfac_tpu.ops.pallas_depth import DepthShardScanner
+
+                self._pallas_scanner = (
+                    "depth",
+                    [
+                        DepthShardScanner(sh, interpret=self.config.interpret)
+                        for sh in self.compiled.shards
+                    ],
+                )
+            except Exception:  # noqa: BLE001 — DepthUnsupported
+                from phfpfac_tpu.ops.pallas_scan import MultiShardScanner
+
+                self._pallas_scanner = (
+                    "multi",
+                    MultiShardScanner(
+                        self.compiled.shards, interpret=self.config.interpret
+                    ),
+                )
+        return self._pallas_scanner
+
     def _match_flat_pallas(self, data: bytes, input_size: int) -> list:
-        """Per-shard flat matches via the pallas banked-LUT kernel.
+        """Per-shard flat matches via the pallas kernels.
 
         Emits per-position match bitmaps on device; shard-local states
         are recovered from the matched substrings (ops.bitmap)."""
         from phfpfac_tpu.ops.bitmap import decode_bitmap
-        from phfpfac_tpu.ops.pallas_scan import MultiShardScanner
 
         max_steps = padded_steps(self.compiled.max_pat_len)
         padded = pad_input(data, _POS_PAD, max_steps)
-        if self._pallas_scanner is None:
-            self._pallas_scanner = MultiShardScanner(
-                self.compiled.shards, interpret=self.config.interpret
-            )
+        kind, scanner = self._get_pallas_scanner()
         flats = []
         with self.timer.phase("match"):
-            _cnt, bits = self._pallas_scanner.scan(
-                padded, input_size, self.config, max_steps
-            )
-            bits = np.asarray(bits)
-            for s, shard in enumerate(self.compiled.shards):
-                flats.append(
-                    decode_bitmap(bits[s], data, input_size, shard, max_steps)
+            if kind == "depth":
+                for shard, ds in zip(self.compiled.shards, scanner):
+                    _cnt, b = ds.scan(
+                        padded, input_size, self.config, max_steps
+                    )
+                    flats.append(
+                        decode_bitmap(
+                            np.asarray(b), data, input_size, shard, max_steps
+                        )
+                    )
+            else:
+                _cnt, bits = scanner.scan(
+                    padded, input_size, self.config, max_steps
                 )
+                bits = np.asarray(bits)
+                for s, shard in enumerate(self.compiled.shards):
+                    flats.append(
+                        decode_bitmap(
+                            bits[s], data, input_size, shard, max_steps
+                        )
+                    )
         return flats
 
     def match(
