@@ -59,11 +59,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load-tables", default=None,
                    help="load compiled tables instead of building")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the match phase")
+    mh = p.add_argument_group("multi-host (jax.distributed)")
+    mh.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port")
+    mh.add_argument("--num-processes", type=int, default=1)
+    mh.add_argument("--process-id", type=int, default=0)
+    mh.add_argument("--mesh", action="store_true",
+                    help="scan on a (data x patterns) device mesh even "
+                         "single-process (all local devices)")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    # honor JAX_PLATFORMS even when an interpreter-level site hook
+    # pre-registered a TPU plugin (jax.config wins over the env)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if args.num_processes > 1:
+        from phfpfac_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
     num_shards = args.num_shards or 4 * args.streamnum
     if args.charset:
         num_shards = 1  # charset DFAs compile as one shard
@@ -102,16 +124,41 @@ def main(argv: list[str] | None = None) -> int:
             print(f"final state num on shard {i} : {sh.final_state_num}")
             print(f"max pattern length on shard {i} : {sh.max_pat_len}")
 
-    with open(args.input_file, "rb") as f:
-        data = f.read()
-    input_size = len(data) if args.full_input else max(len(data) - 1, 0)
+    import os
+
+    file_size = os.path.getsize(args.input_file)
+    input_size = file_size if args.full_input else max(file_size - 1, 0)
     if not args.quiet:
         print(f"input size is {input_size} char")  # main.cc:140
 
-    matcher = Matcher(compiled, cfg, engine=args.engine, timer=timer)
-    text = matcher.match_to_text(data, input_size=input_size)
-    with open(args.output, "w") as f:
-        f.write(text)
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+
+    if args.num_processes > 1 or args.mesh:
+        from phfpfac_tpu.parallel.distributed import MultiHostMatcher
+        from phfpfac_tpu.parallel.merge import render_result_file
+
+        mh = MultiHostMatcher(compiled, cfg)
+        with prof, timer.phase("match"):
+            matches = mh.match_file(args.input_file, input_size=input_size)
+        text = render_result_file(matches)
+        write_out = args.process_id == 0
+    else:
+        with open(args.input_file, "rb") as f:
+            data = f.read()
+        matcher = Matcher(compiled, cfg, engine=args.engine, timer=timer)
+        with prof:
+            text = matcher.match_to_text(data, input_size=input_size)
+        write_out = True
+
+    if write_out:
+        with open(args.output, "w") as f:
+            f.write(text)
 
     if not args.quiet:
         print(timer.report())
