@@ -89,11 +89,18 @@ def main(argv: list[str] | None = None) -> int:
     num_shards = args.num_shards or 4 * args.streamnum
     if args.charset:
         num_shards = 1  # charset DFAs compile as one shard
+    interpret = False
+    if args.engine == "pallas":
+        import jax
+
+        # pallas compiles only for TPU; interpret elsewhere
+        interpret = jax.default_backend() != "tpu"
     cfg = PfacConfig(
         width=args.width,
         num_shards=num_shards,
         truncation="none" if args.exact else "segment",
         match_slots=0,  # full parity layout
+        interpret=interpret,
     )
     timer = PhaseTimer()
 

@@ -113,35 +113,63 @@ def _bfs_levels(dense: np.ndarray, init: int) -> list[np.ndarray]:
     return levels
 
 
-def _layout_distinct(cols_list: list[np.ndarray], cap: int) -> tuple:
+def _layout_distinct(
+    cols_list: list[np.ndarray], cap: int, *, colspan: int = 256,
+    force_offset: np.ndarray | None = None,
+    side_cols_list: list[np.ndarray] | None = None,
+) -> tuple:
     """First-fit-descending row displacement with DISTINCT offsets.
 
     Same scheme as compile.phf.build_phf (phf.c:151-291) restricted to
-    width 256 (row = state, col = char), plus the constraint that no
-    two rows share an offset — which is what makes char-only probe
-    verification sound.  Returns (offsets int64 [n] (-1 = empty row),
-    ht_len) with offsets rebased to min 0.
+    one row per state (col = symbol in [0, colspan)), plus the
+    constraint that no two rows share an offset — which is what makes
+    symbol-only probe verification sound.  Rows with no cols but
+    ``force_offset`` set still receive a fresh distinct offset (needed
+    when a side table is keyed by this row's displacement).
+
+    ``side_cols_list`` places a SECOND keyed table at the same
+    offsets (compile.pair's odd-completion bytes): its slots occupy a
+    separate address space but must also be overwrite-free across
+    rows, so they get their own occupancy array.
+
+    Returns (offsets int64 [n] (_EMPTY = no offset), ht_len) with
+    offsets rebased to min 0.
     """
     n = len(cols_list)
     counts = np.array([len(c) for c in cols_list], dtype=np.int64)
     order = np.argsort(-counts, kind="stable")
-    occ = np.zeros(cap + 512, dtype=bool)
-    used_off = np.zeros(cap + 512, dtype=bool)  # indexed by offset + 256
-    # raw offsets may be negative (down to -255); empty rows keep _EMPTY
+    occ = np.zeros(cap + 3 * colspan, dtype=bool)
+    side_occ = np.zeros(cap + 3 * colspan, dtype=bool)
+    used_off = np.zeros(cap + 2 * colspan, dtype=bool)  # off + colspan
+    # raw offsets may be negative (down to -(colspan-1))
     offsets = np.full(n, _EMPTY, dtype=np.int64)
     window = 2048
     for i in order:
         cols = cols_list[i]
-        if len(cols) == 0:
+        side = (
+            side_cols_list[i]
+            if side_cols_list is not None
+            else np.empty(0, dtype=np.int64)
+        )
+        if (
+            len(cols) == 0
+            and len(side) == 0
+            and (force_offset is None or not force_offset[i])
+        ):
             continue
-        start = -int(cols[0])
+        start = -int(cols[0]) if len(cols) else 0
         offset = None
         while start < cap:
             length = min(window, cap - start)
-            bad = used_off[start + 256 : start + 256 + length].copy()
+            bad = used_off[start + colspan : start + colspan + length].copy()
+            # occupancy arrays are biased by +colspan so slots from
+            # negative candidate offsets index safely
             for c in cols:
-                s = start + int(c)
+                s = start + int(c) + colspan
                 bad |= occ[s : s + length]
+            for c in side:
+                s = start + int(c) + colspan
+                bad |= side_occ[s : s + length]
             free = np.flatnonzero(~bad)
             if free.size:
                 offset = start + int(free[0])
@@ -149,8 +177,11 @@ def _layout_distinct(cols_list: list[np.ndarray], cap: int) -> tuple:
             start += length
         if offset is None:
             raise RuntimeError("distinct-offset layout overflow")
-        occ[offset + cols] = True
-        used_off[offset + 256] = True
+        if len(cols):
+            occ[offset + cols + colspan] = True
+        if len(side):
+            side_occ[offset + side + colspan] = True
+        used_off[offset + colspan] = True
         offsets[i] = offset
     live = offsets != _EMPTY
     if live.any():
@@ -158,7 +189,7 @@ def _layout_distinct(cols_list: list[np.ndarray], cap: int) -> tuple:
         offsets[live] -= mn
         ht_len = int(
             max(
-                offsets[i] + int(cols_list[i][-1])
+                offsets[i] + (int(cols_list[i][-1]) if len(cols_list[i]) else 0)
                 for i in range(n)
                 if live[i]
             )
@@ -168,12 +199,21 @@ def _layout_distinct(cols_list: list[np.ndarray], cap: int) -> tuple:
     return offsets, ht_len
 
 
-def _layout_with_growth(cols_list: list[np.ndarray]) -> tuple:
-    total = int(sum(len(c) for c in cols_list))
+def _layout_with_growth(
+    cols_list: list[np.ndarray], *, colspan: int = 256,
+    force_offset: np.ndarray | None = None,
+    side_cols_list: list[np.ndarray] | None = None,
+) -> tuple:
+    total = int(sum(len(c) for c in cols_list)) + len(cols_list)
+    if side_cols_list is not None:
+        total += int(sum(len(c) for c in side_cols_list))
     cap = max(2048, 4 * total)
     while True:
         try:
-            return _layout_distinct(cols_list, cap)
+            return _layout_distinct(
+                cols_list, cap, colspan=colspan, force_offset=force_offset,
+                side_cols_list=side_cols_list,
+            )
         except RuntimeError:
             cap *= 2
             if cap > (1 << DISP_BITS):

@@ -152,10 +152,27 @@ class Matcher:
         return rows
 
     def _get_pallas_scanner(self):
-        """Depth-stratified per-shard scanners when the automata allow
-        it (tree tries, max_pat_len <= 32), else the fused banked-LUT
-        multi-shard kernel."""
+        """Fastest applicable pallas scanners: stride-2 pair kernel
+        (compact alphabets, exact mode) > depth-stratified kernel
+        (tree tries, max_pat_len <= 32) > fused banked-LUT multi-shard
+        kernel (anything)."""
         if self._pallas_scanner is None:
+            if self.config.truncation != "segment":
+                try:
+                    from phfpfac_tpu.ops.pallas_pair import PairShardScanner
+
+                    self._pallas_scanner = (
+                        "depth",  # same per-shard bitmap protocol
+                        [
+                            PairShardScanner(
+                                sh, interpret=self.config.interpret
+                            )
+                            for sh in self.compiled.shards
+                        ],
+                    )
+                    return self._pallas_scanner
+                except Exception:  # noqa: BLE001 — PairUnsupported
+                    pass
             try:
                 from phfpfac_tpu.ops.pallas_depth import DepthShardScanner
 
