@@ -67,6 +67,7 @@ class DepthTables:
     packed_banks: np.ndarray  # int32 (NB, 128): concat of T_1..T_{D-1}
     offs: tuple  # bank offset of T_t within packed_banks, t = 1..D-1
     nbs: tuple  # bank count of T_t
+    k0s: tuple  # leading trimmed banks per T_t (ops.pallas_scan._lut k0)
     n_steps: int  # D = deepest pattern length = total walk steps (incl s0)
     max_pat_len: int
     num_final: int
@@ -227,6 +228,19 @@ def _to_banks(flat: np.ndarray) -> np.ndarray:
     return out
 
 
+def _to_banks_trimmed(flat: np.ndarray) -> tuple:
+    """Bank a table, dropping leading/trailing all-empty banks (the
+    ≥0 rebase can strand sparse tables at high slots); returns
+    (banks, k0) for _lut's bank-base parameter."""
+    banks = _to_banks(flat)
+    live = (banks != -1).any(axis=1)
+    if not live.any():
+        return banks[:1], 0
+    k0 = int(np.argmax(live))
+    k1 = len(live) - int(np.argmax(live[::-1]))
+    return banks[k0:k1], k0
+
+
 def _minimize_levels(dense: np.ndarray, levels: list[np.ndarray], nf: int):
     """Level-wise suffix minimization (leveled DAWG).
 
@@ -366,7 +380,9 @@ def build_depth_tables(shard: ShardTables, *, minimize: bool = True) -> DepthTab
         fin = 1 if class_fin[0][cls] else 0
         s0_flat[c] = (disp_into(cls, 1) << 1) | fin
 
-    banked = [_to_banks(t) for t in tables]
+    trimmed = [_to_banks_trimmed(t) for t in tables]
+    banked = [b for b, _ in trimmed]
+    k0s = tuple(k for _, k in trimmed)
     offs, nbs, acc = [], [], 0
     for b in banked:
         offs.append(acc)
@@ -382,6 +398,7 @@ def build_depth_tables(shard: ShardTables, *, minimize: bool = True) -> DepthTab
         packed_banks=packed,
         offs=tuple(offs),
         nbs=tuple(nbs),
+        k0s=k0s,
         n_steps=D,
         max_pat_len=shard.max_pat_len,
         num_final=nf,

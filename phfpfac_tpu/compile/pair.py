@@ -77,8 +77,10 @@ class PairTables:
     side_banks: np.ndarray  # int32 (NS, 128): concat S_1..S_K (4 B/word)
     p_offs: tuple
     p_nbs: tuple
+    p_k0s: tuple  # leading trimmed banks per P_k (ops.pallas_scan._lut k0)
     s_offs: tuple
     s_nbs: tuple
+    s_k0s: tuple
     n_pair_steps: int  # K+1 = number of pair probes incl the dense P_0
     disp_miss: int  # dead/leaf displacement sentinel (entry-width bound)
     max_pat_len: int
@@ -89,6 +91,23 @@ def _to_banks(flat: np.ndarray, fill: int = -1) -> np.ndarray:
     out = np.full((nb, _LANE), fill, dtype=np.int32)
     out.ravel()[: len(flat)] = flat
     return out
+
+
+def _to_banks_trimmed(flat: np.ndarray, fill: int = -1) -> tuple:
+    """Bank a table, dropping leading/trailing all-empty banks.
+
+    The ≥0 displacement rebase can leave long empty runs at a sparse
+    table's edges (a lone entry at a high column costs whole banks);
+    trimming recovers them for free via _lut's k0.  Returns
+    (banks, k0).
+    """
+    banks = _to_banks(flat, fill)
+    live = (banks != fill).any(axis=1)
+    if not live.any():
+        return banks[:1], 0
+    k0 = int(np.argmax(live))
+    k1 = len(live) - int(np.argmax(live[::-1]))
+    return banks[k0:k1], k0
 
 
 def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTables:
@@ -252,8 +271,12 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
         # byte is the miss code stay -1 unless fin1 fills them — a
         # depth-1 match exists regardless of the following byte.
 
-    banked_p = [_to_banks(t) for t in p_tables]
-    banked_s = [_to_banks(t, fill=0) for t in s_tables]
+    trimmed_p = [_to_banks_trimmed(t) for t in p_tables]
+    trimmed_s = [_to_banks_trimmed(t, fill=0) for t in s_tables]
+    banked_p = [b for b, _ in trimmed_p]
+    banked_s = [b for b, _ in trimmed_s]
+    p_k0s = tuple(k for _, k in trimmed_p)
+    s_k0s = tuple(k for _, k in trimmed_s)
     p_offs, p_nbs, acc = [], [], 0
     for b in banked_p:
         p_offs.append(acc)
@@ -280,8 +303,10 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
         ),
         p_offs=tuple(p_offs),
         p_nbs=tuple(p_nbs),
+        p_k0s=p_k0s,
         s_offs=tuple(s_offs),
         s_nbs=tuple(s_nbs),
+        s_k0s=s_k0s,
         n_pair_steps=K + 1,
         disp_miss=pair_miss,
         max_pat_len=shard.max_pat_len,

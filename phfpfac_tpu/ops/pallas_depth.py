@@ -71,7 +71,7 @@ def staged_rows(n_pos: int) -> int:
 
 
 def _walk_body(
-    *, t, tpc, off_t, nb_t, seg_bytes, emit_bitmap,
+    *, t, tpc, off_t, nb_t, k0_t, seg_bytes, emit_bitmap,
     lane_next, at_127, b_s, pos_s, lim_s, packed_ref,
 ):
     """One unrolled walk step applied to every tile's carry."""
@@ -95,7 +95,7 @@ def _walk_body(
             else:
                 disp = disps[i]
             idx = disp + cur
-            g = _lut(packed_ref, idx, nb_t, off_t)
+            g = _lut(packed_ref, idx, nb_t, off_t, k0_t)
             hit = (g >= 0) & ((g & 255) == cur)
             fin = hit & ((g & 256) != 0)
             cnts[i] = cnts[i] + fin.astype(jnp.int32)
@@ -115,6 +115,7 @@ def _make_depth_kernel(
     n_steps: int,
     offs: tuple,
     nbs: tuple,
+    k0s: tuple,
     nb_s0: int,
     seg_bytes: int,
     halo_bytes: int,
@@ -184,6 +185,7 @@ def _make_depth_kernel(
         for t in range(1, n_steps):
             step = _walk_body(
                 t=t, tpc=tpc, off_t=offs[t - 1], nb_t=nbs[t - 1],
+                k0_t=k0s[t - 1],
                 seg_bytes=seg_bytes, emit_bitmap=emit_bitmap,
                 lane_next=lane_next, at_127=at_127, b_s=b_s,
                 pos_s=pos_s, lim_s=lim_s, packed_ref=packed_ref,
@@ -216,7 +218,7 @@ def _make_depth_kernel(
 
 
 _STATICS = (
-    "n_steps", "offs", "nbs", "nb_s0",
+    "n_steps", "offs", "nbs", "k0s", "nb_s0",
     "seg_bytes", "halo_bytes", "interpret", "tpc", "cond_from",
 )
 
@@ -231,15 +233,15 @@ def _common(data2d, tpc):
 @functools.partial(jax.jit, static_argnames=_STATICS)
 def _depth_scan_bitmap(
     data2d, input_size, s0_banks, packed_banks,
-    *, n_steps, offs, nbs, nb_s0, seg_bytes, halo_bytes, interpret, tpc,
-    cond_from,
+    *, n_steps, offs, nbs, k0s, nb_s0, seg_bytes, halo_bytes, interpret,
+    tpc, cond_from,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_cells, tpc = _common(data2d, tpc)
     kernel = _make_depth_kernel(
-        n_steps=n_steps, offs=offs, nbs=nbs, nb_s0=nb_s0,
+        n_steps=n_steps, offs=offs, nbs=nbs, k0s=k0s, nb_s0=nb_s0,
         seg_bytes=seg_bytes, halo_bytes=halo_bytes,
         emit_bitmap=True, tiles_per_cell=tpc, cond_from=cond_from,
     )
@@ -274,15 +276,15 @@ def _depth_scan_bitmap(
 @functools.partial(jax.jit, static_argnames=_STATICS)
 def _depth_scan_count(
     data2d, input_size, shift, s0_banks, packed_banks,
-    *, n_steps, offs, nbs, nb_s0, seg_bytes, halo_bytes, interpret, tpc,
-    cond_from,
+    *, n_steps, offs, nbs, k0s, nb_s0, seg_bytes, halo_bytes, interpret,
+    tpc, cond_from,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_cells, tpc = _common(data2d, tpc)
     kernel = _make_depth_kernel(
-        n_steps=n_steps, offs=offs, nbs=nbs, nb_s0=nb_s0,
+        n_steps=n_steps, offs=offs, nbs=nbs, k0s=k0s, nb_s0=nb_s0,
         seg_bytes=seg_bytes, halo_bytes=halo_bytes,
         emit_bitmap=False, tiles_per_cell=tpc, cond_from=cond_from,
     )
@@ -327,7 +329,7 @@ class DepthShardScanner:
         dt = self.dt
         seg = cfg.segment_bytes if cfg.truncation == "segment" else 0
         return dict(
-            n_steps=dt.n_steps, offs=dt.offs, nbs=dt.nbs,
+            n_steps=dt.n_steps, offs=dt.offs, nbs=dt.nbs, k0s=dt.k0s,
             nb_s0=dt.s0_banks.shape[0],
             seg_bytes=seg, halo_bytes=cfg.halo_bytes,
             interpret=self.interpret, tpc=self.tpc,
@@ -382,7 +384,7 @@ class DepthCountScan:
             jnp.asarray(input_size, jnp.int32),
             jnp.asarray(shift, jnp.int32),
             self._s0, self._packed,
-            n_steps=dt.n_steps, offs=dt.offs, nbs=dt.nbs,
+            n_steps=dt.n_steps, offs=dt.offs, nbs=dt.nbs, k0s=dt.k0s,
             nb_s0=dt.s0_banks.shape[0],
             seg_bytes=0, halo_bytes=0,
             interpret=self.interpret, tpc=self.tpc,

@@ -64,7 +64,8 @@ def staged_rows(n_pos: int) -> int:
 def _make_pair_kernel(
     *,
     n_pair_steps: int,
-    p_offs: tuple, p_nbs: tuple, s_offs: tuple, s_nbs: tuple,
+    p_offs: tuple, p_nbs: tuple, p_k0s: tuple,
+    s_offs: tuple, s_nbs: tuple, s_k0s: tuple,
     nb_p0: int, cb: int, disp_miss: int,
     emit_bitmap: bool, tiles_per_cell: int, cond_from: int,
 ):
@@ -122,10 +123,11 @@ def _make_pair_kernel(
 
         carry = (tuple(curs), tuple(disps), tuple(cnts), tuple(bitss))
         for k in range(1, n_pair_steps):
-            po, pn = p_offs[k - 1], p_nbs[k - 1]
-            so, sn = s_offs[k - 1], s_nbs[k - 1]
+            po, pn, pk0 = p_offs[k - 1], p_nbs[k - 1], p_k0s[k - 1]
+            so, sn, sk0 = s_offs[k - 1], s_nbs[k - 1], s_k0s[k - 1]
 
-            def step(carry, k=k, po=po, pn=pn, so=so, sn=sn):
+            def step(carry, k=k, po=po, pn=pn, pk0=pk0, so=so, sn=sn,
+                     sk0=sk0):
                 curs, disps, cnts, bitss = (
                     list(carry[0]), list(carry[1]),
                     list(carry[2]), list(carry[3]),
@@ -142,14 +144,14 @@ def _make_pair_kernel(
                     a1 = cur & ((1 << cb) - 1)
                     sidx = disp + a1
                     w = _lut(s_ref, jax.lax.shift_right_logical(sidx, 2),
-                             sn, so)
+                             sn, so, sk0)
                     byte = (
                         jax.lax.shift_right_logical(w, (sidx & 3) << 3)
                     ) & 255
                     fin_mid = byte == a1 + 1
                     # pair probe: fin for depth 2k+2 + next displacement
                     idx = disp + cur
-                    g = _lut(p_ref, idx, pn, po)
+                    g = _lut(p_ref, idx, pn, po, pk0)
                     hit = (g >= 0) & ((g & pair_mask) == cur)
                     fin_end = hit & ((g & fin_bit) != 0)
                     cnts[i] = (
@@ -199,8 +201,8 @@ def _make_pair_kernel(
 
 
 _STATICS = (
-    "n_pair_steps", "p_offs", "p_nbs", "s_offs", "s_nbs", "nb_p0",
-    "cb", "disp_miss", "interpret", "tpc", "cond_from",
+    "n_pair_steps", "p_offs", "p_nbs", "p_k0s", "s_offs", "s_nbs",
+    "s_k0s", "nb_p0", "cb", "disp_miss", "interpret", "tpc", "cond_from",
 )
 
 
@@ -228,15 +230,16 @@ def _specs(tpc):
 @functools.partial(jax.jit, static_argnames=_STATICS)
 def _pair_scan_bitmap(
     data2d, s0_dummy, p0_banks, packed_banks, side_banks,
-    *, n_pair_steps, p_offs, p_nbs, s_offs, s_nbs, nb_p0, cb, disp_miss,
-    interpret, tpc, cond_from,
+    *, n_pair_steps, p_offs, p_nbs, p_k0s, s_offs, s_nbs, s_k0s,
+    nb_p0, cb, disp_miss, interpret, tpc, cond_from,
 ):
     from jax.experimental import pallas as pl
 
     n_cells, tpc = _common(data2d, tpc)
     kernel = _make_pair_kernel(
         n_pair_steps=n_pair_steps, p_offs=p_offs, p_nbs=p_nbs,
-        s_offs=s_offs, s_nbs=s_nbs, nb_p0=nb_p0, cb=cb,
+        p_k0s=p_k0s, s_offs=s_offs, s_nbs=s_nbs, s_k0s=s_k0s,
+        nb_p0=nb_p0, cb=cb,
         disp_miss=disp_miss, emit_bitmap=True, tiles_per_cell=tpc,
         cond_from=cond_from,
     )
@@ -261,15 +264,16 @@ def _pair_scan_bitmap(
 @functools.partial(jax.jit, static_argnames=_STATICS)
 def _pair_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
-    *, n_pair_steps, p_offs, p_nbs, s_offs, s_nbs, nb_p0, cb, disp_miss,
-    interpret, tpc, cond_from,
+    *, n_pair_steps, p_offs, p_nbs, p_k0s, s_offs, s_nbs, s_k0s,
+    nb_p0, cb, disp_miss, interpret, tpc, cond_from,
 ):
     from jax.experimental import pallas as pl
 
     n_cells, tpc = _common(data2d, tpc)
     kernel = _make_pair_kernel(
         n_pair_steps=n_pair_steps, p_offs=p_offs, p_nbs=p_nbs,
-        s_offs=s_offs, s_nbs=s_nbs, nb_p0=nb_p0, cb=cb,
+        p_k0s=p_k0s, s_offs=s_offs, s_nbs=s_nbs, s_k0s=s_k0s,
+        nb_p0=nb_p0, cb=cb,
         disp_miss=disp_miss, emit_bitmap=False, tiles_per_cell=tpc,
         cond_from=cond_from,
     )
@@ -288,7 +292,7 @@ class PairShardScanner:
     """Bitmap-mode stride-2 scanner for one shard (exact-mode only)."""
 
     def __init__(self, shard: ShardTables, *, interpret: bool = False,
-                 tpc: int = 8, cond_from: int = 3):
+                 tpc: int = 16, cond_from: int = 3):
         self.pt: PairTables = build_pair_tables(shard)
         self.shard = shard
         self.interpret = interpret
@@ -300,7 +304,8 @@ class PairShardScanner:
         pt = self.pt
         return dict(
             n_pair_steps=pt.n_pair_steps, p_offs=pt.p_offs, p_nbs=pt.p_nbs,
-            s_offs=pt.s_offs, s_nbs=pt.s_nbs,
+            p_k0s=pt.p_k0s, s_offs=pt.s_offs, s_nbs=pt.s_nbs,
+            s_k0s=pt.s_k0s,
             nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             disp_miss=pt.disp_miss,
             interpret=self.interpret, tpc=self.tpc,
@@ -328,7 +333,7 @@ class PairCountScan:
     """Count-mode stride-2 scan (bench protocol: prepare + scan)."""
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
-                 interpret: bool = False, tpc: int = 8, cond_from: int = 3):
+                 interpret: bool = False, tpc: int = 16, cond_from: int = 3):
         self.pt = build_pair_tables(shard)
         self.max_steps = max_steps
         self.interpret = interpret
@@ -352,7 +357,8 @@ class PairCountScan:
             staged, jnp.asarray(shift, jnp.int32),
             self._p0, self._p, self._s,
             n_pair_steps=pt.n_pair_steps, p_offs=pt.p_offs, p_nbs=pt.p_nbs,
-            s_offs=pt.s_offs, s_nbs=pt.s_nbs,
+            p_k0s=pt.p_k0s, s_offs=pt.s_offs, s_nbs=pt.s_nbs,
+            s_k0s=pt.s_k0s,
             nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             disp_miss=pt.disp_miss,
             interpret=self.interpret, tpc=self.tpc,
@@ -365,7 +371,7 @@ class PairCountScan:
 
 
 def pair_count_scanner(shard: ShardTables, max_steps: int, *,
-                       interpret: bool = False, tpc: int = 8,
+                       interpret: bool = False, tpc: int = 16,
                        cond_from: int = 3) -> PairCountScan:
     return PairCountScan(
         shard, max_steps, interpret=interpret, tpc=tpc, cond_from=cond_from

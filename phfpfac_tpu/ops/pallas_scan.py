@@ -108,11 +108,14 @@ def recommended_shards(num_patterns: int, target_states: int = 900) -> int:
     return max(1, math.ceil(est_states / target_states))
 
 
-def _lut(banks_ref, idx, nb: int, off: int = 0):
-    """Banked 128-lane LUT: result[i] = banks[off:off+nb].ravel()[idx[i]].
+def _lut(banks_ref, idx, nb: int, off: int = 0, k0: int = 0):
+    """Banked 128-lane LUT:
+    result[i] = banks[off:off+nb].ravel()[idx[i] - k0*128].
 
-    ``idx`` is an (8,128) int32 tile with values in [0, nb*128); an
-    out-of-range index selects no bank and yields -1 (miss).
+    ``idx`` is an (8,128) int32 tile; indices outside
+    [k0*128, (k0+nb)*128) select no bank and yield -1 (miss).  ``k0``
+    lets callers trim leading all-empty banks from a table without
+    touching the probe indices — only the compare constants change.
     Cost: nb x (lane-gather + compare + select).
     """
     # arithmetic shift keeps negative idx out of every bank -> miss
@@ -122,7 +125,7 @@ def _lut(banks_ref, idx, nb: int, off: int = 0):
     for k in range(nb):
         row = jnp.broadcast_to(banks_ref[off + k, :][None, :], idx.shape)
         g = jnp.take_along_axis(row, lane, axis=1)
-        acc = jnp.where(bank == k, g, acc)
+        acc = jnp.where(bank == k + k0, g, acc)
     return acc
 
 
