@@ -9,6 +9,7 @@ runs once (the reference rebuilds tables on every invocation).
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -162,20 +163,37 @@ def _shard_to_tables(trie: TrieTables, phf: PhfTable) -> ShardTables:
 def compile_patterns(
     patterns: list[Pattern], config: PfacConfig, *, verbose: bool = False
 ) -> CompiledDictionary:
-    """Compile an (unsorted) pattern list into per-shard device tables."""
+    """Compile an (unsorted) pattern list into per-shard device tables.
+
+    Shards build concurrently on host threads — the reference's OpenMP
+    parallel FFDM loop (main.cc:122-126); the C++ trie/FFDM builders
+    (compile.native) release the GIL, so threads scale.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     ordered = sort_patterns(patterns)
     shards_pat = shard_patterns(ordered, config.num_shards)
-    shards: list[ShardTables] = []
-    max_pat_len = 0
-    for sp in shards_pat:
+
+    def build_one(sp):
         trie = build_pfac_trie(sp)
         phf = build_phf(trie.table, config.width)
-        if verbose:
-            print(phf.stats_report())
         st = _shard_to_tables(trie, phf)
         st.patterns = [p.data for p in sp]
-        shards.append(st)
-        max_pat_len = max(max_pat_len, trie.max_pat_len)
+        return st, phf
+
+    if len(shards_pat) > 1:
+        with ThreadPoolExecutor(
+            max_workers=min(len(shards_pat), os.cpu_count() or 4)
+        ) as pool:
+            built = list(pool.map(build_one, shards_pat))
+    else:
+        built = [build_one(sp) for sp in shards_pat]
+
+    shards = [st for st, _ in built]
+    if verbose:
+        for _, phf in built:
+            print(phf.stats_report())
+    max_pat_len = max((st.max_pat_len for st in shards), default=0)
     return CompiledDictionary(
         shards=shards,
         max_pat_len=max_pat_len,
