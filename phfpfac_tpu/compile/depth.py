@@ -289,7 +289,9 @@ def _minimize_levels(dense: np.ndarray, levels: list[np.ndarray], nf: int):
     return class_fin, class_tr, s0_class
 
 
-def build_depth_tables(shard: ShardTables, *, minimize: bool = True) -> DepthTables:
+def build_depth_tables(
+    shard: ShardTables, *, minimize: bool = True, trim: bool = True
+) -> DepthTables:
     """Stratify one shard's automaton by depth.
 
     Raises DepthUnsupported for non-tree automata (charset DFAs) or
@@ -380,7 +382,10 @@ def build_depth_tables(shard: ShardTables, *, minimize: bool = True) -> DepthTab
         fin = 1 if class_fin[0][cls] else 0
         s0_flat[c] = (disp_into(cls, 1) << 1) | fin
 
-    trimmed = [_to_banks_trimmed(t) for t in tables]
+    if trim:
+        trimmed = [_to_banks_trimmed(t) for t in tables]
+    else:  # uniform k0=0 layout (stacked SPMD tables need it)
+        trimmed = [(_to_banks(t), 0) for t in tables]
     banked = [b for b, _ in trimmed]
     k0s = tuple(k for _, k in trimmed)
     offs, nbs, acc = [], [], 0

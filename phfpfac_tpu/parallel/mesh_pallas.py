@@ -1,0 +1,201 @@
+"""Depth kernel under shard_map: the fast multi-chip scan path.
+
+parallel.mesh runs the portable XLA turbo engine per mesh cell; this
+module runs the depth-stratified Pallas kernel (ops.pallas_depth)
+instead, with the same two mesh axes:
+
+* ``data``     — the staged (rows, 128) input is sharded row-wise;
+  each cell receives its neighbor's first 8 rows via ``ppermute``
+  over ICI (walks read at most max_pat_len-1 < 128 bytes past the
+  block, i.e. only halo row 0) — the collective form of the in-kernel
+  halo ref;
+* ``patterns`` — every cell along this axis holds its own shard's
+  depth tables.  SPMD requires one program for all cells, so tables
+  are stacked with UNIFORM static geometry: per-depth bank counts are
+  padded to the max across shards (probes into the -1 padding miss),
+  trimming is disabled (k0 = 0 everywhere), and shallower shards get
+  empty tables up to the deepest shard's step count.
+
+Output: per-position match bitmaps laid out [patterns, data-major
+positions] — identical decoding contract to the single-chip pallas
+path (ops.bitmap).  Exact mode only; segment-truncation parity runs
+stay on the turbo mesh path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from phfpfac_tpu.compile.depth import DepthTables, build_depth_tables
+from phfpfac_tpu.compile.tables import CompiledDictionary
+from phfpfac_tpu.ops.common import pad_input, padded_steps
+from phfpfac_tpu.ops.pallas_depth import (
+    _SUB,
+    _depth_scan_bitmap,
+    stage_input,
+)
+
+
+@dataclass
+class StackedDepthTables:
+    """All shards' depth tables with uniform static geometry."""
+
+    s0: np.ndarray  # int32 [S, 2, 128]
+    packed: np.ndarray  # int32 [S, NB, 128]
+    offs: tuple
+    nbs: tuple
+    n_steps: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.s0.shape[0]
+
+
+def stack_depth_tables(compiled: CompiledDictionary) -> StackedDepthTables:
+    """Raises compile.depth.DepthUnsupported when any shard cannot."""
+    dts: list[DepthTables] = [
+        build_depth_tables(sh, trim=False) for sh in compiled.shards
+    ]
+    n_steps = max(dt.n_steps for dt in dts)
+    # per-step bank counts padded to the max across shards
+    nbs = tuple(
+        max(
+            (dt.nbs[t] if t < len(dt.nbs) else 1)
+            for dt in dts
+        )
+        for t in range(n_steps - 1)
+    )
+    offs, acc = [], 0
+    for nb in nbs:
+        offs.append(acc)
+        acc += nb
+    packed = np.full((len(dts), acc, 128), -1, dtype=np.int32)
+    for s, dt in enumerate(dts):
+        for t in range(len(dt.nbs)):
+            src = dt.packed_banks[dt.offs[t] : dt.offs[t] + dt.nbs[t]]
+            packed[s, offs[t] : offs[t] + src.shape[0]] = src
+    s0 = np.stack([dt.s0_banks for dt in dts])
+    return StackedDepthTables(
+        s0=s0, packed=packed, offs=tuple(offs), nbs=nbs, n_steps=n_steps
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "n_steps", "offs", "nbs", "interpret", "tpc"),
+)
+def _mesh_bitmap_scan(
+    data2d,  # int32 [rows, 128] staged input (sharded over "data")
+    s0,  # int32 [S, 2, 128] (sharded over "patterns")
+    packed,  # int32 [S, NB, 128]
+    *,
+    mesh: Mesh,
+    n_steps: int,
+    offs: tuple,
+    nbs: tuple,
+    interpret: bool,
+    tpc: int,
+):
+    n_data = mesh.shape["data"]
+
+    def cell(d2, s0_c, pk_c):
+        # neighbor's first 8 input rows over ICI (right halo); the
+        # last cell's wrap would alias cell 0's real text, so it gets
+        # the pad char instead (walks die on contact).
+        halo = jax.lax.ppermute(
+            d2[:_SUB],
+            "data",
+            perm=[(i, (i - 1) % n_data) for i in range(n_data)],
+        )
+        is_last = jax.lax.axis_index("data") == n_data - 1
+        halo = jnp.where(is_last, jnp.int32(256), halo)
+        local = jnp.concatenate([d2, halo], axis=0)
+        _cnt, bits = _depth_scan_bitmap(
+            local,
+            jnp.int32(2**31 - 1),  # bound handled by the pad char
+            s0_c[0],
+            pk_c[0],
+            n_steps=n_steps, offs=offs, nbs=nbs,
+            k0s=(0,) * len(nbs), nb_s0=2,
+            seg_bytes=0, halo_bytes=0,
+            interpret=interpret, tpc=tpc, cond_from=3,
+        )
+        return bits.reshape(1, -1)
+
+    f = jax.shard_map(
+        cell,
+        mesh=mesh,
+        in_specs=(P("data", None), P("patterns", None, None),
+                  P("patterns", None, None)),
+        out_specs=P("patterns", "data"),
+        check_vma=False,
+    )
+    return f(data2d, s0, packed)
+
+
+class PallasMeshMatcher:
+    """Mesh-parallel matcher on the depth kernel (exact mode).
+
+    Raises DepthUnsupported at construction when the dictionary cannot
+    use depth tables — callers fall back to mesh.DistributedMatcher.
+    """
+
+    def __init__(self, compiled: CompiledDictionary, config, mesh: Mesh,
+                 *, interpret: bool = False, tpc: int = 8):
+        if config.truncation == "segment":
+            from phfpfac_tpu.compile.depth import DepthUnsupported
+
+            raise DepthUnsupported("segment truncation needs the turbo mesh")
+        self.compiled = compiled
+        self.config = config
+        self.mesh = mesh
+        self.interpret = interpret
+        self.tpc = tpc
+        self.stacked = stack_depth_tables(compiled)
+        n_pat = mesh.shape["patterns"]
+        if self.stacked.num_shards != n_pat:
+            raise ValueError(
+                f"{self.stacked.num_shards} shards != patterns axis {n_pat}"
+            )
+
+    def match(self, data: bytes, *, input_size: int | None = None):
+        """Flat [(position, global pattern id)] in reference order."""
+        from phfpfac_tpu.ops.bitmap import decode_bitmap
+        from phfpfac_tpu.parallel.merge import merge_flat_matches
+
+        if input_size is None:
+            input_size = len(data)
+        st = self.stacked
+        max_steps = padded_steps(self.compiled.max_pat_len)
+        n_data = self.mesh.shape["data"]
+        padded = pad_input(data, 1024 * n_data, max_steps)
+        n_pos = len(padded) - max_steps
+        # n_pos divides 1024*n_data, so rows split evenly over "data";
+        # the per-cell +8-row halo comes from the neighbor (ppermute),
+        # not from staging, so the stage drops the tail pad.
+        rows = n_pos // 128
+        data2d = stage_input(
+            jnp.asarray(padded[:n_pos]),
+            jnp.asarray(np.int32(input_size)),
+            n_rows=rows,
+        )
+        bits = np.asarray(
+            _mesh_bitmap_scan(
+                data2d,
+                jnp.asarray(st.s0), jnp.asarray(st.packed),
+                mesh=self.mesh, n_steps=st.n_steps,
+                offs=st.offs, nbs=st.nbs,
+                interpret=self.interpret, tpc=self.tpc,
+            )
+        )
+        flats = [
+            decode_bitmap(bits[s], data, input_size, shard, max_steps)
+            for s, shard in enumerate(self.compiled.shards)
+        ]
+        return merge_flat_matches(self.compiled, flats, input_size)

@@ -1,0 +1,54 @@
+"""Depth kernel under shard_map (parallel.mesh_pallas) parity."""
+
+import numpy as np
+import pytest
+
+from phfpfac_tpu.compile.tables import compile_patterns
+from phfpfac_tpu.frontend.patterns import Pattern
+from phfpfac_tpu.oracle.ac import match_oracle
+from phfpfac_tpu.parallel.matcher import Matcher
+from phfpfac_tpu.parallel.mesh import make_mesh
+from phfpfac_tpu.parallel.mesh_pallas import PallasMeshMatcher
+from phfpfac_tpu.utils.config import PfacConfig
+
+
+def _mk(words, num_shards, width=1024):
+    pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
+    cfg = PfacConfig(
+        width=width, num_shards=num_shards, truncation="none", interpret=True
+    )
+    return pats, cfg, compile_patterns(pats, cfg)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1)])
+def test_oracle_parity_across_mesh_shapes(reference_dir, mesh_shape):
+    n_data, n_pat = mesh_shape
+    words = (reference_dir / "xaa").read_bytes().split()[:300]
+    data = (reference_dir / "1M").read_bytes()[:8192]
+    pats, cfg, compiled = _mk(words, n_pat)
+    pm = PallasMeshMatcher(compiled, cfg, make_mesh(n_data, n_pat),
+                           interpret=True)
+    got = [tuple(x) for x in pm.match(data).tolist()]
+    assert got == match_oracle(pats, data, cfg)
+
+
+def test_matches_single_host_matcher(reference_dir):
+    # mesh output must be byte-equivalent to the single-chip matcher
+    words = (reference_dir / "experimentpattern").read_bytes().split()
+    data = (reference_dir / "experimentinput").read_bytes()
+    pats, cfg, compiled = _mk(words, 2, width=256)
+    pm = PallasMeshMatcher(compiled, cfg, make_mesh(4, 2), interpret=True)
+    single = Matcher(compiled, cfg, engine="pallas")
+    assert pm.match(data).tolist() == single.match(data).tolist()
+
+
+def test_block_boundary_straddle():
+    # a match crossing the data-shard boundary must survive via the
+    # ppermute halo (the cross-chip version of master_kernel.cu halos)
+    words = [b"boundarycrossing"]
+    pats, cfg, compiled = _mk(words, 1, width=256)
+    pm = PallasMeshMatcher(compiled, cfg, make_mesh(8, 1), interpret=True)
+    # place the pattern across the first 1024-byte block boundary
+    data = b"x" * (1024 - 8) + b"boundarycrossing" + b"y" * 2000
+    got = [tuple(x) for x in pm.match(data).tolist()]
+    assert got == [(1024 - 8, 1)]
