@@ -32,9 +32,10 @@ must die next step (leaf states, deepest level).  Empty slots are -1;
 the verify char can never equal the miss sentinel's low byte because
 the ``g >= 0`` term rejects it first.
 
-Applies to plain-pattern tries (trees).  Charset-class DFAs (DAGs —
-states reachable at several depths) raise ``DepthUnsupported`` and
-fall back to the generic kernels.
+Applies to any leveled-acyclic automaton: plain-pattern tries
+directly, and charset-class DFAs (DAGs) by listing a state in every
+level it reaches — multi-output final expansion stays in the host
+merge (parallel.merge).
 """
 
 from __future__ import annotations
@@ -89,13 +90,17 @@ def _reconstruct_dense(shard: ShardTables) -> np.ndarray:
 
 
 def _bfs_levels(dense: np.ndarray, init: int) -> list[np.ndarray]:
-    """Levels of the trie: levels[i] = sorted states at depth i+1.
+    """Leveled expansion: levels[i] = sorted states reachable at depth
+    i+1.
 
-    Raises DepthUnsupported if any state is reachable twice (the
-    automaton is a DAG, not a tree — e.g. a determinized charset NFA).
+    Plain-pattern tries visit each state at exactly one depth; charset
+    DFAs (subset construction) are DAGs whose states may recur at
+    several depths — they are simply listed in every level they reach
+    (level-local classes keep table sizes in check).  Raises
+    DepthUnsupported past MAX_DEPTH_STEPS levels (deeper than the
+    match bitmap, or a cyclic automaton — impossible for finite
+    dictionaries, but guarded).
     """
-    depth = np.full(dense.shape[0], -1, dtype=np.int64)
-    depth[init] = 0
     levels: list[np.ndarray] = []
     cur = np.array([init], dtype=np.int64)
     while True:
@@ -104,13 +109,10 @@ def _bfs_levels(dense: np.ndarray, init: int) -> list[np.ndarray]:
         if ns.size == 0:
             break
         uniq = np.unique(ns)
-        if uniq.size != ns.size or (depth[uniq] >= 0).any():
-            raise DepthUnsupported("automaton is not a tree")
-        depth[uniq] = len(levels) + 1
         levels.append(uniq)
         cur = uniq
         if len(levels) > MAX_DEPTH_STEPS:
-            raise DepthUnsupported("trie deeper than the bitmap width")
+            raise DepthUnsupported("automaton deeper than the bitmap width")
     return levels
 
 
@@ -244,6 +246,11 @@ def _to_banks_trimmed(flat: np.ndarray) -> tuple:
 def _minimize_levels(dense: np.ndarray, levels: list[np.ndarray], nf: int):
     """Level-wise suffix minimization (leveled DAWG).
 
+    Levels are processed deepest-first, so ``class_of[s]`` always
+    holds s's class at the level just below the one being processed —
+    which keeps the lookup correct even when a DAG state recurs at
+    several levels.
+
     States at the same depth with identical right behavior — same
     finality and transitions leading (recursively) to equivalent
     states — merge into one class.  The device kernel only ever
@@ -299,8 +306,6 @@ def build_depth_tables(
     """
     if shard.max_pat_len > MAX_DEPTH_STEPS:
         raise DepthUnsupported("max pattern length exceeds bitmap width")
-    if shard.output_lists is not None:
-        raise DepthUnsupported("charset automaton")
     nf = shard.final_state_num
     init = nf + 1
     if shard.state_num <= init:

@@ -113,8 +113,6 @@ def _to_banks_trimmed(flat: np.ndarray, fill: int = -1) -> tuple:
 def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTables:
     if shard.max_pat_len > MAX_DEPTH_STEPS:
         raise PairUnsupported("max pattern length exceeds bitmap width")
-    if shard.output_lists is not None:
-        raise PairUnsupported("charset automaton")
     nf = shard.final_state_num
     init = nf + 1
     if shard.state_num <= init:

@@ -313,8 +313,8 @@ class DepthShardScanner:
     """Scans one shard with the depth kernel; emits counts + bitmaps.
 
     Raises compile.depth.DepthUnsupported at construction when the
-    shard's automaton cannot be stratified (callers fall back to
-    ops.pallas_scan).
+    shard's automaton cannot be stratified (deeper than the match
+    bitmap; callers fall back to ops.pallas_scan).
     """
 
     def __init__(self, shard: ShardTables, *, interpret: bool = False,

@@ -58,18 +58,35 @@ class TestDepthTables:
         assert (entry[0] >> 8) & 1 == 1
         assert entry[0] >> 9 == DISP_MISS
 
-    def test_charset_dfa_unsupported(self, reference_dir):
+    def test_charset_dfa_levels_as_dag(self):
+        # charset DFAs are DAGs: states recur at several depths and
+        # are listed per level (multi-output finals expand at merge)
         from phfpfac_tpu.compile.tables import compile_class_patterns
         from phfpfac_tpu.frontend.charset import parse_class_pattern
+        from phfpfac_tpu.ops.bitmap import decode_bitmap
+        from phfpfac_tpu.oracle.ac import match_oracle_charset
+        from phfpfac_tpu.parallel.merge import merge_flat_matches
 
-        cps = [
-            parse_class_pattern(b"a[bc]d", 1),
-            parse_class_pattern(b"abd", 2),
-        ]
-        cfg = PfacConfig(width=256, num_shards=1)
+        lines = [b"a[bc]d", b"abd", b"[xy]z", b"ab", b"q"]
+        cps = [parse_class_pattern(ln, i + 1) for i, ln in enumerate(lines)]
+        cfg = PfacConfig(width=256, num_shards=1, truncation="none",
+                         interpret=True)
         compiled = compile_class_patterns(cps, cfg)
-        with pytest.raises(DepthUnsupported):
-            build_depth_tables(compiled.shards[0])
+        sh = compiled.shards[0]
+        rng = np.random.default_rng(5)
+        alpha = np.frombuffer(b"abcdxyzq ", dtype=np.uint8)
+        data = bytes(alpha[rng.integers(0, len(alpha), 4096)])
+        ms = padded_steps(compiled.max_pat_len)
+        padded = pad_input(data, 1024, ms)
+        _cnt, bits = DepthShardScanner(sh, interpret=True).scan(
+            padded, len(data), cfg, ms
+        )
+        flat = decode_bitmap(np.asarray(bits), data, len(data), sh, ms)
+        got = [
+            tuple(x)
+            for x in merge_flat_matches(compiled, [flat], len(data)).tolist()
+        ]
+        assert got == match_oracle_charset(cps, data, cfg)
 
 
 class TestDepthKernelParity:
