@@ -1,0 +1,117 @@
+"""Streaming and batched serving APIs.
+
+The reference is a one-shot CLI (read file, scan, exit).  A serving
+deployment needs two more shapes, both built on the same engines:
+
+* ``StreamMatcher`` — feed a byte stream in chunks; every match is
+  reported exactly once, by the first feed whose cumulative data
+  contains the match's last byte.  Each feed rescans only the
+  ``max_pat_len - 1`` tail bytes of earlier data (the host-side
+  version of the kernel's halo overlap, master_kernel.cu:129-135).
+* ``match_many`` — scan a batch of small buffers in ONE device
+  dispatch by concatenation; matches that would straddle a buffer
+  boundary are dropped in the decode (walks are position-local, so
+  a straddling "match" can only arise from adjacency in the concat).
+
+Both return global/batch-local positions in reference order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from phfpfac_tpu.compile.tables import CompiledDictionary
+from phfpfac_tpu.parallel.matcher import Matcher
+from phfpfac_tpu.utils.config import PfacConfig
+
+
+class StreamMatcher:
+    """Incremental scanning with exactly-once match reporting."""
+
+    def __init__(
+        self,
+        compiled: CompiledDictionary,
+        config: PfacConfig,
+        *,
+        engine: str = "turbo",
+    ):
+        self.matcher = Matcher(compiled, config, engine=engine)
+        self.overlap = max(compiled.max_pat_len - 1, 0)
+        self._tail = b""
+        self._total = 0  # bytes fed so far
+
+    def feed(self, chunk: bytes) -> np.ndarray:
+        """Scan ``chunk``; return the NEW matches as int64 [(global
+        position, pattern id)] — exactly those whose last byte arrived
+        with this chunk."""
+        if not chunk:
+            return np.empty((0, 2), dtype=np.int64)
+        window = self._tail + chunk
+        base = self._total - len(self._tail)
+        matches = np.asarray(
+            self.matcher.match(window, input_size=len(window))
+        )
+        prev_end = self._total
+        self._total += len(chunk)
+        self._tail = window[-self.overlap :] if self.overlap else b""
+        if matches.size == 0:
+            return matches.reshape(0, 2)
+        gpos = matches[:, 0] + base
+        # end = pos + len(pattern); recover length from the id
+        lengths = self._pattern_lengths()[matches[:, 1]]
+        end = gpos + lengths
+        keep = end > prev_end
+        out = np.stack([gpos[keep], matches[keep][:, 1]], axis=1)
+        return out
+
+    def _pattern_lengths(self) -> np.ndarray:
+        if not hasattr(self, "_plen"):
+            n = self.matcher.compiled.num_patterns
+            plen = np.zeros(n + 1, dtype=np.int64)
+            for sh in self.matcher.compiled.shards:
+                if sh.patterns is None:
+                    raise ValueError(
+                        "StreamMatcher needs shards with pattern bytes"
+                    )
+                for local, pat in enumerate(sh.patterns):
+                    plen[int(sh.pattern_id_map[local])] = len(pat)
+            self._plen = plen
+        return self._plen
+
+
+def match_many(
+    matcher: Matcher, buffers: list[bytes]
+) -> list[np.ndarray]:
+    """Scan many buffers in one dispatch; per-buffer [(pos, id)].
+
+    Buffers are concatenated and scanned once; matches whose extent
+    crosses a buffer boundary are artifacts of the concatenation and
+    are dropped during decode.
+    """
+    if not buffers:
+        return []
+    joined = b"".join(buffers)
+    bounds = np.cumsum([0] + [len(b) for b in buffers])
+    matches = np.asarray(matcher.match(joined, input_size=len(joined)))
+    outs: list[np.ndarray] = []
+    if matches.size == 0:
+        return [np.empty((0, 2), dtype=np.int64) for _ in buffers]
+    # pattern lengths for boundary filtering
+    n = matcher.compiled.num_patterns
+    plen = np.zeros(n + 1, dtype=np.int64)
+    for sh in matcher.compiled.shards:
+        if sh.patterns is None:
+            raise ValueError("match_many needs shards with pattern bytes")
+        for local, pat in enumerate(sh.patterns):
+            plen[int(sh.pattern_id_map[local])] = len(pat)
+    pos = matches[:, 0]
+    end = pos + plen[matches[:, 1]]
+    buf_idx = np.searchsorted(bounds, pos, side="right") - 1
+    within = end <= bounds[buf_idx + 1]
+    for i in range(len(buffers)):
+        sel = within & (buf_idx == i)
+        m = matches[sel].copy()
+        if m.size:
+            m[:, 0] -= bounds[i]
+        outs.append(m.reshape(-1, 2))
+    return outs

@@ -1,0 +1,69 @@
+"""Streaming / batched serving APIs (parallel.stream)."""
+
+import numpy as np
+import pytest
+
+from phfpfac_tpu.compile.tables import compile_patterns
+from phfpfac_tpu.frontend.patterns import Pattern
+from phfpfac_tpu.oracle.ac import match_oracle
+from phfpfac_tpu.parallel.matcher import Matcher
+from phfpfac_tpu.parallel.stream import StreamMatcher, match_many
+from phfpfac_tpu.utils.config import PfacConfig
+
+
+def _mk(words, num_shards=2):
+    pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
+    cfg = PfacConfig(width=256, num_shards=num_shards, truncation="none")
+    return pats, cfg, compile_patterns(pats, cfg)
+
+
+@pytest.mark.parametrize("chunk_size", [1, 7, 100, 1000, 5000])
+def test_stream_equals_whole_buffer(reference_dir, chunk_size):
+    words = (reference_dir / "experimentpattern").read_bytes().split() + [
+        b"the", b"there", b"cat"
+    ]
+    data = (
+        b"aaathe cat aaaa" * 40
+        + (reference_dir / "1M").read_bytes()[:2000]
+    )
+    pats, cfg, compiled = _mk(words)
+    sm = StreamMatcher(compiled, cfg)
+    got = []
+    for i in range(0, len(data), chunk_size):
+        got += [tuple(x) for x in sm.feed(data[i : i + chunk_size]).tolist()]
+    want = match_oracle(pats, data, cfg)
+    # exactly-once, every match, stream order == by arrival of last byte
+    assert sorted(got) == sorted(want)
+    assert len(got) == len(set((p, i, k) for k, (p, i) in enumerate(got)))
+
+
+def test_stream_match_straddles_chunks():
+    words = [b"straddlingmatch"]
+    pats, cfg, compiled = _mk(words, num_shards=1)
+    sm = StreamMatcher(compiled, cfg)
+    a = sm.feed(b"xxxxstraddl")
+    b = sm.feed(b"ingmatchyyy")
+    assert a.size == 0
+    assert [tuple(x) for x in b.tolist()] == [(4, 1)]
+
+
+def test_match_many_per_buffer(reference_dir):
+    words = (reference_dir / "xaa").read_bytes().split()[:200]
+    pats, cfg, compiled = _mk(words)
+    m = Matcher(compiled, cfg)
+    text = (reference_dir / "1M").read_bytes()
+    bufs = [text[i * 997 : (i + 1) * 997] for i in range(12)]
+    outs = match_many(m, bufs)
+    assert len(outs) == len(bufs)
+    for buf, out in zip(bufs, outs):
+        want = match_oracle(pats, buf, cfg)
+        assert [tuple(x) for x in out.tolist()] == want
+
+
+def test_match_many_drops_boundary_straddlers():
+    words = [b"abcd"]
+    pats, cfg, compiled = _mk(words, num_shards=1)
+    m = Matcher(compiled, cfg)
+    outs = match_many(m, [b"xxab", b"cdxx", b"abcd"])
+    assert outs[0].size == 0 and outs[1].size == 0
+    assert [tuple(x) for x in outs[2].tolist()] == [(0, 1)]
