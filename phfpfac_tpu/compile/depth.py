@@ -223,19 +223,19 @@ def _layout_with_growth(
                 raise DepthUnsupported("depth table exceeds disp bits")
 
 
-def _to_banks(flat: np.ndarray) -> np.ndarray:
+def _to_banks(flat: np.ndarray, fill: int = -1) -> np.ndarray:
     nb = max(1, -(-len(flat) // _LANE))
-    out = np.full((nb, _LANE), -1, dtype=np.int32)
+    out = np.full((nb, _LANE), fill, dtype=np.int32)
     out.ravel()[: len(flat)] = flat
     return out
 
 
-def _to_banks_trimmed(flat: np.ndarray) -> tuple:
+def _to_banks_trimmed(flat: np.ndarray, fill: int = -1) -> tuple:
     """Bank a table, dropping leading/trailing all-empty banks (the
     ≥0 rebase can strand sparse tables at high slots); returns
     (banks, k0) for _lut's bank-base parameter."""
-    banks = _to_banks(flat)
-    live = (banks != -1).any(axis=1)
+    banks = _to_banks(flat, fill)
+    live = (banks != fill).any(axis=1)
     if not live.any():
         return banks[:1], 0
     k0 = int(np.argmax(live))

@@ -54,6 +54,8 @@ from phfpfac_tpu.compile.depth import (
     _layout_with_growth,
     _minimize_levels,
     _reconstruct_dense,
+    _to_banks,
+    _to_banks_trimmed,
 )
 from phfpfac_tpu.compile.tables import ShardTables
 
@@ -84,30 +86,6 @@ class PairTables:
     n_pair_steps: int  # K+1 = number of pair probes incl the dense P_0
     disp_miss: int  # dead/leaf displacement sentinel (entry-width bound)
     max_pat_len: int
-
-
-def _to_banks(flat: np.ndarray, fill: int = -1) -> np.ndarray:
-    nb = max(1, -(-len(flat) // _LANE))
-    out = np.full((nb, _LANE), fill, dtype=np.int32)
-    out.ravel()[: len(flat)] = flat
-    return out
-
-
-def _to_banks_trimmed(flat: np.ndarray, fill: int = -1) -> tuple:
-    """Bank a table, dropping leading/trailing all-empty banks.
-
-    The ≥0 displacement rebase can leave long empty runs at a sparse
-    table's edges (a lone entry at a high column costs whole banks);
-    trimming recovers them for free via _lut's k0.  Returns
-    (banks, k0).
-    """
-    banks = _to_banks(flat, fill)
-    live = (banks != fill).any(axis=1)
-    if not live.any():
-        return banks[:1], 0
-    k0 = int(np.argmax(live))
-    k1 = len(live) - int(np.argmax(live[::-1]))
-    return banks[k0:k1], k0
 
 
 def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTables:

@@ -90,6 +90,10 @@ class CompiledDictionary:
             )
             for name in ("s0", "r", "ht", "val", "pattern_id_map"):
                 arrays[f"shard{i}_{name}"] = getattr(sh, name)
+            if sh.output_lists is not None:
+                meta["shards"][-1]["output_lists"] = {
+                    str(k): v for k, v in sh.output_lists.items()
+                }
             if sh.patterns is not None:
                 blob = b"".join(sh.patterns)
                 offs = np.cumsum([0] + [len(p) for p in sh.patterns])
@@ -127,6 +131,11 @@ class CompiledDictionary:
                                 )
                             ]
                             if f"shard{i}_patblob" in z
+                            else None
+                        ),
+                        output_lists=(
+                            {int(k): v for k, v in m["output_lists"].items()}
+                            if "output_lists" in m
                             else None
                         ),
                     )

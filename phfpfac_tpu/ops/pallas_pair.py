@@ -36,6 +36,7 @@ import numpy as np
 
 from phfpfac_tpu.compile.pair import PairTables, PairUnsupported, build_pair_tables
 from phfpfac_tpu.compile.tables import ShardTables
+from phfpfac_tpu.ops.pallas_depth import _common, staged_rows
 from phfpfac_tpu.ops.pallas_scan import _LANE, _SUB, TILE, _lut
 
 
@@ -54,11 +55,6 @@ def stage_pairs(data, input_size, code_of, *, n_rows: int, cb: int):
     # pair symbol = (second << CB) | first — see compile.pair
     pairs = (nxt << cb) | codes
     return pairs.reshape(n_rows, _LANE)
-
-
-def staged_rows(n_pos: int) -> int:
-    assert n_pos % TILE == 0
-    return (n_pos // TILE) * _SUB + _SUB
 
 
 def _make_pair_kernel(
@@ -204,13 +200,6 @@ _STATICS = (
     "n_pair_steps", "p_offs", "p_nbs", "p_k0s", "s_offs", "s_nbs",
     "s_k0s", "nb_p0", "cb", "disp_miss", "interpret", "tpc", "cond_from",
 )
-
-
-def _common(data2d, tpc):
-    n_tiles = data2d.shape[0] // _SUB - 1
-    while n_tiles % tpc:
-        tpc //= 2
-    return n_tiles // tpc, tpc
 
 
 def _specs(tpc):

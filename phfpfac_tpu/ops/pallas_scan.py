@@ -316,6 +316,10 @@ class PallasShardScanner:
 
 def pallas_count_scanner(shard: ShardTables, max_steps: int, *, interpret=False):
     """Count-mode scan fn(data, input_size, shift) -> total (for bench)."""
+    if max_steps > _LANE:
+        # the staged int32 view carries one halo row (128 bytes); fail
+        # at construction so engine_select can fall back to XLA
+        raise ValueError(f"pallas scan supports max_steps <= {_LANE}")
     pt = PallasTables(shard)
 
     @jax.jit

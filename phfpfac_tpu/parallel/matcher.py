@@ -30,6 +30,18 @@ from phfpfac_tpu.utils.timing import PhaseTimer
 _POS_PAD = 1024  # position-count padding granularity
 
 
+def _dense_slots(shard) -> int:
+    """Match-row slots for the exact dense fallback.
+
+    A walk emits at most one match per DISTINCT pattern length (the
+    matches at a position form a prefix chain), so slots need not be
+    max_pat_len — keeps the [n_pos, slots] buffer bounded on
+    long-pattern dictionaries."""
+    if shard.patterns:
+        return max(len({len(p) for p in shard.patterns}), 1)
+    return max(shard.max_pat_len, 1)
+
+
 class Matcher:
     """Scans inputs against a compiled dictionary."""
 
@@ -103,8 +115,7 @@ class Matcher:
         n_pos = len(padded) - max_steps
         limits = walk_limits(n_pos, input_size, shard.max_pat_len, self.config)
         out, _ = scan_shard_jnp(
-            shard, padded, limits, input_size,
-            slots=max(self.compiled.max_pat_len, 1),
+            shard, padded, limits, input_size, slots=_dense_slots(shard),
         )
         return np.asarray(out)
 
@@ -138,17 +149,27 @@ class Matcher:
                         shard, padded, limits, input_size, slots=slots
                     )
                 else:
-                    from phfpfac_tpu.ops.pallas_scan import scan_shard_pallas
-
-                    out, _cnt = scan_shard_pallas(
-                        shard,
-                        padded,
-                        limits,
-                        input_size,
-                        slots=slots,
-                        interpret=self.config.interpret,
+                    # pallas engines emit bitmaps, not dense rows;
+                    # reconstruct the parity row layout from the flat
+                    # matches (slot j = j-th match at the position, in
+                    # increasing length order — the walk emit order)
+                    return self._rows_from_flats(
+                        self._match_flat_pallas(data, input_size),
+                        n_pos, slots,
                     )
                 rows.append(np.asarray(out))
+        return rows
+
+    def _rows_from_flats(self, flats, n_pos: int, slots: int):
+        rows = []
+        for m in flats:
+            out = np.full((n_pos, slots), -1, dtype=np.int32)
+            fill = np.zeros(n_pos, dtype=np.int64)
+            for pos, _step, local in m:
+                if fill[pos] < slots:
+                    out[pos, fill[pos]] = local
+                    fill[pos] += 1
+            rows.append(out)
         return rows
 
     def _get_pallas_scanner(self):
@@ -203,30 +224,39 @@ class Matcher:
 
         max_steps = padded_steps(self.compiled.max_pat_len)
         padded = pad_input(data, _POS_PAD, max_steps)
-        kind, scanner = self._get_pallas_scanner()
+        try:
+            kind, scanner = self._get_pallas_scanner()
+        except Exception:  # noqa: BLE001 — no pallas path applies
+            return self._match_flat_turbo(data, input_size)
         flats = []
-        with self.timer.phase("match"):
-            if kind == "depth":
-                for shard, ds in zip(self.compiled.shards, scanner):
-                    _cnt, b = ds.scan(
+        try:
+            with self.timer.phase("match"):
+                if kind == "depth":
+                    for shard, ds in zip(self.compiled.shards, scanner):
+                        _cnt, b = ds.scan(
+                            padded, input_size, self.config, max_steps
+                        )
+                        flats.append(
+                            decode_bitmap(
+                                np.asarray(b), data, input_size, shard,
+                                max_steps,
+                            )
+                        )
+                else:
+                    _cnt, bits = scanner.scan(
                         padded, input_size, self.config, max_steps
                     )
-                    flats.append(
-                        decode_bitmap(
-                            np.asarray(b), data, input_size, shard, max_steps
+                    bits = np.asarray(bits)
+                    for s, shard in enumerate(self.compiled.shards):
+                        flats.append(
+                            decode_bitmap(
+                                bits[s], data, input_size, shard, max_steps
+                            )
                         )
-                    )
-            else:
-                _cnt, bits = scanner.scan(
-                    padded, input_size, self.config, max_steps
-                )
-                bits = np.asarray(bits)
-                for s, shard in enumerate(self.compiled.shards):
-                    flats.append(
-                        decode_bitmap(
-                            bits[s], data, input_size, shard, max_steps
-                        )
-                    )
+        except ValueError:
+            # e.g. max_pat_len beyond the 32-step bitmap: exact results
+            # via the portable engine instead of failing the request
+            return self._match_flat_turbo(data, input_size)
         return flats
 
     def match(

@@ -22,13 +22,17 @@ from phfpfac_tpu.compile.tables import CompiledDictionary, ShardTables
 
 def _map_ids(shard: ShardTables, local: np.ndarray):
     """Map shard-local final states to global ids, expanding charset
-    multi-output finals (frontend.charset).  Returns (take, ids, sub):
-    row m of the input expands to rows where take==m, with output-list
-    order in ``sub``."""
+    multi-output finals (frontend.charset).  Returns (take, ids, sub,
+    sub_base): row m of the input expands to rows where take==m, with
+    output-list order in ``sub`` and ``sub_base`` > max(sub) for
+    overflow-free tiebreak keys."""
     if not shard.output_lists:
         take = np.arange(len(local), dtype=np.int64)
-        return take, shard.pattern_id_map[local].astype(np.int64), np.zeros(
-            len(local), dtype=np.int64
+        return (
+            take,
+            shard.pattern_id_map[local].astype(np.int64),
+            np.zeros(len(local), dtype=np.int64),
+            1,
         )
     take, ids, sub = [], [], []
     for m, st in enumerate(local):
@@ -39,10 +43,14 @@ def _map_ids(shard: ShardTables, local: np.ndarray):
             take.append(m)
             ids.append(pid)
             sub.append(j)
+    sub_base = max(
+        (len(v) for v in shard.output_lists.values()), default=0
+    ) + 1
     return (
         np.asarray(take, dtype=np.int64),
         np.asarray(ids, dtype=np.int64),
         np.asarray(sub, dtype=np.int64),
+        sub_base,
     )
 
 
@@ -64,11 +72,11 @@ def merge_match_rows(
         if p.size == 0:
             continue
         local = rows[p, j]
-        take, ids, sub = _map_ids(compiled.shards[s], local)
+        take, ids, sub, sub_base = _map_ids(compiled.shards[s], local)
         pos_parts.append(p[take])
         id_parts.append(ids)
         shard_parts.append(np.full(take.size, s, dtype=np.int64))
-        slot_parts.append(j[take] * 64 + sub)
+        slot_parts.append(j[take] * sub_base + sub)
     if not pos_parts:
         return np.empty((0, 2), dtype=np.int64)
     pos = np.concatenate(pos_parts)
@@ -93,9 +101,9 @@ def merge_flat_matches(
             continue
         keep = m[:, 0] < input_size
         m = m[keep]
-        take, ids, sub = _map_ids(compiled.shards[s], m[:, 2])
+        take, ids, sub, sub_base = _map_ids(compiled.shards[s], m[:, 2])
         pos_parts.append(m[take, 0])
-        step_parts.append(m[take, 1] * 64 + sub)
+        step_parts.append(m[take, 1] * sub_base + sub)
         id_parts.append(ids)
         shard_parts.append(np.full(take.size, s, dtype=np.int64))
     if not pos_parts:

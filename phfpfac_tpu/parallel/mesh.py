@@ -329,9 +329,10 @@ class DistributedMatcher:
         padded = pad_input(data, 1024, max_steps)
         n_pos = len(padded) - max_steps
         limits = walk_limits(n_pos, input_size, shard.max_pat_len, self.config)
+        from phfpfac_tpu.parallel.matcher import _dense_slots
+
         out, _ = scan_shard_jnp(
-            shard, padded, limits, input_size,
-            slots=max(self.compiled.max_pat_len, 1),
+            shard, padded, limits, input_size, slots=_dense_slots(shard),
         )
         rows = np.asarray(out)
         p, j = np.nonzero(rows >= 0)

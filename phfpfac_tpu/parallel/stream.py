@@ -35,6 +35,12 @@ class StreamMatcher:
         *,
         engine: str = "turbo",
     ):
+        if config.truncation == "segment":
+            raise ValueError(
+                "StreamMatcher requires truncation='none': segment "
+                "boundaries are window-local, so chunking would change "
+                "which matches get truncated"
+            )
         self.matcher = Matcher(compiled, config, engine=engine)
         self.overlap = max(compiled.max_pat_len - 1, 0)
         self._tail = b""

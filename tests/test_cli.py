@@ -89,3 +89,17 @@ def test_engines_agree(reference_dir, tmp_path):
               "--exact", "--engine", engine])
         outs.append(out.read_text())
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_charset_save_load_preserves_multi_output(tmp_path):
+    pat = tmp_path / "pat.txt"
+    pat.write_bytes(b"a[bc]d\nabd\n")
+    inp = tmp_path / "in.txt"
+    inp.write_bytes(b"xabdx\n")
+    out1, out2, npz = tmp_path / "a.txt", tmp_path / "b.txt", tmp_path / "t.npz"
+    _run([pat, 1, 256, inp, "-o", out1, "--quiet", "--charset",
+          "--save-tables", npz])
+    _run([pat, 1, 256, inp, "-o", out2, "--quiet", "--load-tables", npz])
+    # both pattern ids must survive the round-trip (output_lists)
+    assert out1.read_text() == out2.read_text()
+    assert "pattern 1" in out2.read_text() and "pattern 2" in out2.read_text()

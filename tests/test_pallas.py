@@ -69,13 +69,20 @@ class TestPallasKernel:
         cfg2 = PfacConfig(width=256, num_shards=1, truncation="none", interpret=True)
         check(pats, data, cfg2)
 
-    def test_long_patterns_rejected(self):
-        pats = [P(1, b"x" * 40)]
-        cfg = PfacConfig(width=256, num_shards=1, interpret=True)
+    def test_long_patterns_fall_back_exactly(self):
+        # patterns beyond the 32-step bitmap can't use the pallas
+        # kernels; the matcher must degrade to the portable engine
+        # with exact results rather than raising
+        pats = [P(1, b"x" * 40), P(2, b"xx")]
+        cfg = PfacConfig(
+            width=256, num_shards=1, truncation="none", interpret=True
+        )
         compiled = compile_patterns(pats, cfg)
         m = Matcher(compiled, cfg, engine="pallas")
-        with pytest.raises(ValueError, match="bitmap path supports"):
-            m.match(b"x" * 100)
+        got = [tuple(x) for x in m.match(b"y" + b"x" * 100).tolist()]
+        from phfpfac_tpu.oracle.ac import match_oracle
+
+        assert got == match_oracle(pats, b"y" + b"x" * 100, cfg)
 
     def test_matches_turbo_engine(self):
         rng = np.random.default_rng(23)
@@ -92,3 +99,38 @@ class TestPallasKernel:
         got_p = Matcher(compiled, cfg, engine="pallas").match(data)
         got_t = Matcher(compiled, cfg, engine="turbo").match(data)
         np.testing.assert_array_equal(got_p, got_t)
+
+
+def test_count_scanner_falls_back_for_long_patterns():
+    from phfpfac_tpu.ops.engine_select import best_count_scanner
+
+    pats = [P(1, b"z" * 200), P(2, b"zz")]
+    cfg = PfacConfig(width=256, num_shards=1, truncation="none",
+                     interpret=True)
+    compiled = compile_patterns(pats, cfg)
+    from phfpfac_tpu.ops.common import padded_steps
+
+    scan = best_count_scanner(compiled.shards[0], padded_steps(200))
+    # must be the XLA fallback (a plain function), and must count
+    from phfpfac_tpu.ops.common import pad_input
+    import jax.numpy as jnp
+
+    data = b"zz" * 300
+    padded = pad_input(data, 1024, padded_steps(200))
+    total = int(np.asarray(scan(jnp.asarray(padded), jnp.int32(len(data)),
+                                jnp.int32(0))))
+    from phfpfac_tpu.oracle.ac import match_oracle
+
+    assert total == len(match_oracle(pats, data, cfg))
+
+
+def test_match_rows_pallas_engine():
+    pats = [P(1, b"ab"), P(2, b"abc")]
+    cfg = PfacConfig(width=256, num_shards=1, truncation="none",
+                     interpret=True, match_slots=4)
+    compiled = compile_patterns(pats, cfg)
+    m = Matcher(compiled, cfg, engine="pallas")
+    rows = m.match_rows(b"xabcx")
+    assert len(rows) == 1
+    row = rows[0][1]  # position 1: matches of length 2 and 3
+    assert (row >= 0).sum() == 2

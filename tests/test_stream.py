@@ -67,3 +67,12 @@ def test_match_many_drops_boundary_straddlers():
     outs = match_many(m, [b"xxab", b"cdxx", b"abcd"])
     assert outs[0].size == 0 and outs[1].size == 0
     assert [tuple(x) for x in outs[2].tolist()] == [(0, 1)]
+
+
+def test_stream_rejects_segment_truncation():
+    words = [b"ab"]
+    pats = [Pattern(1, b"ab")]
+    cfg = PfacConfig(width=256, num_shards=1, truncation="segment")
+    compiled = compile_patterns(pats, cfg)
+    with pytest.raises(ValueError, match="segment"):
+        StreamMatcher(compiled, cfg)
