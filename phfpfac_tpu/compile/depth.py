@@ -75,18 +75,23 @@ class DepthTables:
 
 
 def _reconstruct_dense(shard: ShardTables) -> np.ndarray:
-    """Dense int32 [state_num, 256] table via vectorized PHF probes."""
-    state_num = shard.state_num
-    keys = np.arange(state_num * 256, dtype=np.int64)
-    row = keys >> shard.width_bit
-    col = keys & (shard.width - 1)
-    row_ok = row < len(shard.r)
-    idx = np.where(row_ok, shard.r[np.minimum(row, len(shard.r) - 1)], -1) + col
-    ok = row_ok & (idx >= 0) & (idx < shard.ht_size)
-    idx_c = np.clip(idx, 0, max(shard.ht_size - 1, 0))
-    ok &= shard.ht[idx_c] == row
-    dense = np.where(ok, shard.val[idx_c], -1).astype(np.int32)
-    return dense.reshape(state_num, 256)
+    """Dense int32 [state_num, 256] table, inverted from the PHF.
+
+    Every occupied hash slot i encodes exactly one key: the owning row
+    is ht[i] and its column is i - r[row] (the displacement identity,
+    phf.c:211-216) — so the sparse table recovers in O(ht_size)
+    instead of probing all state_num * 256 candidate keys.
+    """
+    dense = np.full((shard.state_num, 256), -1, dtype=np.int32)
+    idx = np.flatnonzero(shard.ht >= 0)
+    rows = shard.ht[idx].astype(np.int64)
+    cols = idx - shard.r[rows]
+    keys = rows * shard.width + cols
+    states = keys >> 8
+    chars = keys & 255
+    keep = states < shard.state_num  # guard against corrupt tables
+    dense[states[keep], chars[keep]] = shard.val[idx[keep]]
+    return dense
 
 
 def _bfs_levels(dense: np.ndarray, init: int) -> list[np.ndarray]:
