@@ -251,11 +251,6 @@ def _to_banks_trimmed(flat: np.ndarray, fill: int = -1) -> tuple:
 def _minimize_levels(dense: np.ndarray, levels: list[np.ndarray], nf: int):
     """Level-wise suffix minimization (leveled DAWG).
 
-    Levels are processed deepest-first, so ``class_of[s]`` always
-    holds s's class at the level just below the one being processed —
-    which keeps the lookup correct even when a DAG state recurs at
-    several levels.
-
     States at the same depth with identical right behavior — same
     finality and transitions leading (recursively) to equivalent
     states — merge into one class.  The device kernel only ever
@@ -267,6 +262,12 @@ def _minimize_levels(dense: np.ndarray, levels: list[np.ndarray], nf: int):
     (shared suffixes like "...tion"), cutting the banked-LUT probe
     cost proportionally.
 
+    Vectorized: per level (deepest first), each state's signature is
+    (finality, 256-wide row of child CLASS ids); np.unique(axis=0)
+    partitions the level.  ``class_arr[s]`` always holds s's class at
+    the level just below the one being processed, which stays correct
+    even when a DAG state recurs at several levels.
+
     Returns (class_fin, class_tr, class_of_s0) where, per level index
     li (depth li+1):
       class_fin[li][k]   — finality of class k
@@ -276,28 +277,29 @@ def _minimize_levels(dense: np.ndarray, levels: list[np.ndarray], nf: int):
     D = len(levels)
     class_fin: list[list[bool]] = [None] * D
     class_tr: list[list[tuple]] = [None] * D
-    class_of: dict[int, int] = {}  # state -> class idx within its level
+    class_arr = np.full(dense.shape[0], -1, dtype=np.int64)
     for li in range(D - 1, -1, -1):
         states = levels[li]
-        key_to_idx: dict = {}
-        fins: list[bool] = []
-        trs: list[tuple] = []
-        for s in states:
-            s = int(s)
-            row = dense[s]
-            cols = np.flatnonzero(row >= 0)
-            tr = tuple((int(c), class_of[int(row[c])]) for c in cols)
-            key = (s < nf, tr)
-            idx = key_to_idx.get(key)
-            if idx is None:
-                idx = len(trs)
-                key_to_idx[key] = idx
-                fins.append(s < nf)
-                trs.append(tr)
-            class_of[s] = idx
+        rows = dense[states]  # (n, 256)
+        child_cls = np.where(
+            rows >= 0, class_arr[np.maximum(rows, 0)], -1
+        )
+        fin = (states < nf).astype(np.int64)
+        sig = np.concatenate([fin[:, None], child_cls], axis=1)
+        _uniq, first, inv = np.unique(
+            sig, axis=0, return_index=True, return_inverse=True
+        )
+        class_arr[states] = inv
+        fins, trs = [], []
+        for rep in first:
+            cols = np.flatnonzero(rows[rep] >= 0)
+            trs.append(
+                tuple((int(c), int(child_cls[rep, c])) for c in cols)
+            )
+            fins.append(bool(fin[rep]))
         class_fin[li] = fins
         class_tr[li] = trs
-    s0_class = {int(s): class_of[int(s)] for s in levels[0]}
+    s0_class = {int(s): int(class_arr[int(s)]) for s in levels[0]}
     return class_fin, class_tr, s0_class
 
 
