@@ -281,7 +281,7 @@ class PairShardScanner:
     """Bitmap-mode stride-2 scanner for one shard (exact-mode only)."""
 
     def __init__(self, shard: ShardTables, *, interpret: bool = False,
-                 tpc: int = 16, cond_from: int = 3):
+                 tpc: int = 16, cond_from: int = 5):
         self.pt: PairTables = build_pair_tables(shard)
         self.shard = shard
         self.interpret = interpret
@@ -322,7 +322,7 @@ class PairCountScan:
     """Count-mode stride-2 scan (bench protocol: prepare + scan)."""
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
-                 interpret: bool = False, tpc: int = 16, cond_from: int = 3):
+                 interpret: bool = False, tpc: int = 16, cond_from: int = 5):
         self.pt = build_pair_tables(shard)
         self.max_steps = max_steps
         self.interpret = interpret
