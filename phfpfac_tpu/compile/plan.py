@@ -1,0 +1,362 @@
+"""Cost-planned hybrid-stride PFAC tables (the fastest layout).
+
+compile.depth strides one byte per probe; compile.pair strides two.
+Neither is uniformly best: fusing two trie levels into pair symbols
+eliminates the odd level's table rows BUT duplicates any suffix
+sharing that passed through them (a merged odd class reached from k
+parents contributes its transitions k times), so at suffix-heavy
+depths two stride-1 probes can touch fewer table banks than one
+stride-2 probe — while at sparse deep levels the pair step's halved
+fixed cost wins.  Measured on the English dictionary: stride-1 wins
+depths 3-4, pairs win from ~5 on.
+
+This module chooses per depth with a tiny dynamic program over
+estimated probe costs (banks ~ entries/utilization; fixed vector-op
+cost per step kind) and emits a STATIC step plan:
+
+    step 0:      dense sigma^2 table over depths 1+2 (always)
+    step i>0:    "mono"  — one byte,  table M_d  (rows = depth-d
+                 classes, col = byte code), or
+                 "pair"  — two bytes, table P_d + odd-completion side
+                 table S_d (compile.pair's scheme)
+
+All tables chain displacements (the value stored for a transition is
+the landing class's displacement in the NEXT step's table, whatever
+kind that is) and verify probes by the stored symbol, sound under the
+distinct-displacement layout (compile.depth._layout_distinct).
+
+Entry layouts (int32):
+    mono:  (next_disp << (CB+1))   | (fin << CB)   | code
+    pair:  (next_disp << (2CB+1))  | (fin << 2CB)  | pair
+    P0:    (next_disp << 2) | (fin2 << 1) | fin1      (dense; no verify)
+Dead walkers carry the emitting step's miss sentinel
+(all-ones in its disp field), which indexes past every bank.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from phfpfac_tpu.compile.depth import (
+    _EMPTY,
+    DepthUnsupported,
+    MAX_DEPTH_STEPS,
+    _bfs_levels,
+    _layout_with_growth,
+    _minimize_levels,
+    _reconstruct_dense,
+    _to_banks,
+    _to_banks_trimmed,
+)
+from phfpfac_tpu.compile.pair import MAX_SIGMA, PairUnsupported
+from phfpfac_tpu.compile.tables import ShardTables
+
+_LANE = 128
+
+# Step fixed-cost estimates in vector ops (DP weights).  Measured on
+# v5e: each unrolled step costs ~160 vops of fixed overhead (window
+# advance, early-exit reduce + carry copy, scheduling), far above the
+# naive op count — so a pair step must save ~40 banks over two mono
+# steps before mono wins.  On the English dictionary this reproduces
+# the all-pair plan; heavily suffix-duplicating dictionaries flip
+# individual depths to mono.
+_FIX_MONO = 160.0
+_FIX_PAIR = 160.0
+_UTIL_MONO = 0.8
+_UTIL_PAIR = 0.5
+
+
+@dataclass(frozen=True)
+class StepSpec:
+    """Static geometry of one walk step (hashable: jit static arg)."""
+
+    kind: str  # "mono" | "pair"
+    depth0: int  # first depth this step covers (1-based)
+    off: int  # main-table bank offset
+    nb: int
+    k0: int
+    s_off: int  # side table (pair only; zeros for mono)
+    s_nb: int
+    s_k0: int
+    miss: int  # dead sentinel VALUE stored by this step's entries
+
+
+@dataclass
+class PlanTables:
+    """Banked hybrid-stride tables for ops.pallas_plan (one shard)."""
+
+    code_of: np.ndarray  # int32 [256] byte -> code (miss = sigma)
+    code_bits: int
+    p0_banks: np.ndarray  # dense depths-1+2 table
+    packed_banks: np.ndarray  # concat of all main tables
+    side_banks: np.ndarray  # concat of all pair side tables
+    steps: tuple  # tuple[StepSpec], probe order (depth 3 onward)
+    p0_miss: int  # dead sentinel stored by P0 entries
+    max_pat_len: int
+
+
+def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTables:
+    if shard.max_pat_len > MAX_DEPTH_STEPS:
+        raise PairUnsupported("max pattern length exceeds bitmap width")
+    nf = shard.final_state_num
+    init = nf + 1
+    if shard.state_num <= init:
+        raise PairUnsupported("degenerate automaton")
+    if not minimize:
+        raise PairUnsupported("plan tables require class minimization")
+    dense = _reconstruct_dense(shard)
+    dense[init] = shard.s0
+    levels = _bfs_levels(dense, init)
+    D = len(levels)
+    if D == 0:
+        raise PairUnsupported("empty automaton")
+    class_fin, class_tr, s0_class = _minimize_levels(dense, levels, nf)
+
+    # ---- alphabet coding --------------------------------------------------
+    used = np.zeros(256, dtype=bool)
+    used[[c for c in range(256) if shard.s0[c] >= 0]] = True
+    for li in range(D):
+        for tr in class_tr[li]:
+            for c, _ in tr:
+                used[c] = True
+    sigma = int(used.sum())
+    if sigma > MAX_SIGMA:
+        raise PairUnsupported(f"alphabet too large ({sigma} > {MAX_SIGMA})")
+    cb = max(sigma.bit_length(), 1)
+    code_of = np.full(256, sigma, dtype=np.int32)
+    code_of[np.flatnonzero(used)] = np.arange(sigma, dtype=np.int32)
+    pair_span = 1 << (2 * cb)
+    mono_span = 1 << cb
+
+    # ---- DP over step kinds -----------------------------------------------
+    # entries(M_d) = transitions out of depth-d classes;
+    # entries(P_d) = two-step transitions (duplicated through odd mids)
+    def mono_entries(d: int) -> int:  # d = start depth, covers d+1
+        return sum(len(tr) for tr in class_tr[d - 1])
+
+    def pair_entries(d: int) -> int:  # covers d+1, d+2
+        tot = 0
+        for tr in class_tr[d - 1]:
+            for _c1, mid in tr:
+                if d + 1 < D:
+                    tot += len(class_tr[d][mid])
+        return tot
+
+    INF = float("inf")
+    cost = [0.0] * (D + 2)
+    choice = [None] * (D + 1)
+    for d in range(D - 1, 1, -1):  # start depths D-1 .. 2
+        m = (
+            4.0 * (mono_entries(d) / _UTIL_MONO / 128.0)
+            + _FIX_MONO
+            + cost[d + 1]
+        )
+        p = INF
+        if d + 1 <= D:
+            side_banks = mono_entries(d) / 4.0 / 128.0  # rough
+            p = (
+                4.0 * (pair_entries(d) / _UTIL_PAIR / 128.0 + side_banks)
+                + _FIX_PAIR
+                + cost[d + 2]
+            )
+        if p <= m:
+            cost[d], choice[d] = p, "pair"
+        else:
+            cost[d], choice[d] = m, "mono"
+
+    plan_kinds: list[tuple] = []  # (kind, start_depth)
+    d = 2
+    while d < D:
+        k = choice[d] or "mono"
+        plan_kinds.append((k, d))
+        d += 2 if k == "pair" else 1
+
+    # ---- build tables in reverse plan order (disp chaining) ---------------
+    # For each step: rows = classes at its start depth.
+    built: list[dict] = [None] * len(plan_kinds)
+    # disp_of[i][cls] = displacement into step i's table for a walker
+    # landing on a class at that step's start depth
+    disp_of: list[np.ndarray] = [None] * (len(plan_kinds) + 1)
+
+    def landing(i: int, cls: int, storing_vshift: int) -> int:
+        """Value-field (disp) stored by a step with ``storing_vshift``
+        for a walker landing on class ``cls`` at step i's start depth.
+
+        Dead landings (past the last step, or a class with no onward
+        table row) get the STORING step's miss sentinel — it both fits
+        the storer's value field and matches the alive-check constant
+        the kernel uses after that step."""
+        miss = (1 << (31 - storing_vshift)) - 1
+        if i >= len(plan_kinds):
+            return miss
+        off = disp_of[i][cls]
+        return int(off) if off != _EMPTY else miss
+
+    for i in range(len(plan_kinds) - 1, -1, -1):
+        kind, d = plan_kinds[i]
+        li = d - 1
+        trs = class_tr[li]
+        if kind == "mono":
+            vshift = cb + 1
+            cols_list, vals_list, side_list = [], [], None
+            for tr in trs:
+                cols = [int(code_of[c]) for c, _ in tr]
+                order = np.argsort(cols)
+                cols_list.append(np.asarray(cols, dtype=np.int64)[order])
+                vals_list.append([tr[j][1] for j in order])
+            offsets, ht_len = _layout_with_growth(
+                cols_list, colspan=mono_span
+            )
+            disp_of[i] = offsets
+            built[i] = dict(
+                kind=kind, d=d, vshift=vshift, cols=cols_list,
+                vals=vals_list, side=None, offsets=offsets, ht_len=ht_len,
+            )
+        else:
+            vshift = 2 * cb + 1
+            cols_list, vals_list, side_list = [], [], []
+            for tr in trs:
+                cols, vals, side = [], [], []
+                for c1, mid in tr:
+                    a = int(code_of[c1])
+                    if class_fin[li + 1][mid]:
+                        side.append(a)
+                    if li + 2 < D:
+                        for c2, end in class_tr[li + 1][mid]:
+                            cols.append((int(code_of[c2]) << cb) | a)
+                            vals.append(end)
+                order = np.argsort(cols) if cols else []
+                cols_list.append(
+                    np.asarray(cols, dtype=np.int64)[order]
+                    if len(cols) else np.empty(0, dtype=np.int64)
+                )
+                vals_list.append([vals[j] for j in order])
+                side_list.append(
+                    np.asarray(sorted(set(side)), dtype=np.int64)
+                )
+            force = np.array([len(s) > 0 for s in side_list], dtype=bool)
+            offsets, ht_len = _layout_with_growth(
+                cols_list, colspan=pair_span, force_offset=force,
+                side_cols_list=side_list,
+            )
+            disp_of[i] = offsets
+            built[i] = dict(
+                kind=kind, d=d, vshift=vshift, cols=cols_list,
+                vals=vals_list, side=side_list, offsets=offsets,
+                ht_len=ht_len,
+            )
+
+    # ---- fill -------------------------------------------------------------
+    main_tables, side_tables = [], []
+    for i, b in enumerate(built):
+        kind, d, vshift = b["kind"], b["d"], b["vshift"]
+        if np.max(b["offsets"], initial=0) >= (1 << (31 - vshift)) - 1:
+            raise PairUnsupported("displacement exceeds entry bits")
+        tbl = np.full(b["ht_len"], -1, dtype=np.int32)
+        trs = class_tr[d - 1]
+        nxt = i + 1
+        if kind == "mono":
+            for r, cols in enumerate(b["cols"]):
+                off = b["offsets"][r]
+                if off == _EMPTY:
+                    continue
+                for j, code in enumerate(cols):
+                    mid = b["vals"][r][j]
+                    # next step starts at depth d+1 (landing class mid)
+                    nv = landing(nxt, mid, vshift)
+                    fin = 1 if class_fin[d][mid] else 0
+                    tbl[off + int(code)] = (
+                        (nv << vshift) | (fin << cb) | int(code)
+                    )
+            side_tables.append(np.zeros(1, dtype=np.int32))
+        else:
+            sbytes = np.zeros(b["ht_len"] + mono_span, dtype=np.uint8)
+            for r, cols in enumerate(b["cols"]):
+                off = b["offsets"][r]
+                if off == _EMPTY:
+                    continue
+                for j, pair in enumerate(cols):
+                    end = b["vals"][r][j]
+                    nv = landing(nxt, end, vshift)
+                    fin = 1 if class_fin[d + 1][end] else 0
+                    tbl[off + int(pair)] = (
+                        (nv << vshift) | (fin << (2 * cb)) | int(pair)
+                    )
+                for a in b["side"][r]:
+                    sbytes[off + int(a)] = int(a) + 1
+            pad = (-len(sbytes)) % 4
+            sb = np.concatenate([sbytes, np.zeros(pad, np.uint8)])
+            side_tables.append(
+                sb.view("<u4").astype(np.int64).astype(np.int32)
+            )
+        main_tables.append(tbl)
+
+    # ---- dense P0 (depths 1 + 2) -------------------------------------------
+    p0_miss = (1 << 22) - 1
+    p0 = np.full(pair_span, -1, dtype=np.int32)
+    if built and np.max(disp_of[0], initial=0) >= p0_miss:
+        raise PairUnsupported("first-step displacement exceeds P0 bits")
+
+    def p0_landing(cls: int) -> int:
+        if not built:
+            return p0_miss
+        off = disp_of[0][cls]
+        return int(off) if off != _EMPTY else p0_miss
+
+    for c1 in range(256):
+        u = int(shard.s0[c1])
+        if u < 0:
+            continue
+        a = int(code_of[c1])
+        u_cls = s0_class[u]
+        fin1 = 1 if class_fin[0][u_cls] else 0
+        seen_b = set()
+        if D >= 2:
+            for c2, v_cls in class_tr[0][u_cls]:
+                bcode = int(code_of[c2])
+                seen_b.add(bcode)
+                fin2 = 1 if class_fin[1][v_cls] else 0
+                p0[(bcode << cb) | a] = (
+                    (p0_landing(v_cls) << 2) | (fin2 << 1) | fin1
+                )
+        if fin1:
+            for bcode in range(mono_span):
+                if bcode not in seen_b:
+                    p0[(bcode << cb) | a] = (p0_miss << 2) | fin1
+
+    # ---- bank + spec assembly ----------------------------------------------
+    tm = [_to_banks_trimmed(t) for t in main_tables]
+    ts = [_to_banks_trimmed(t, fill=0) for t in side_tables]
+    specs, m_acc, s_acc = [], 0, 0
+    for i, b in enumerate(built):
+        mb, mk0 = tm[i]
+        sb, sk0 = ts[i]
+        vshift = b["vshift"]
+        specs.append(
+            StepSpec(
+                kind=b["kind"], depth0=b["d"] + 1,
+                off=m_acc, nb=mb.shape[0], k0=mk0,
+                s_off=s_acc, s_nb=sb.shape[0], s_k0=sk0,
+                miss=(1 << (31 - vshift)) - 1,
+            )
+        )
+        m_acc += mb.shape[0]
+        s_acc += sb.shape[0]
+    return PlanTables(
+        code_of=code_of,
+        code_bits=cb,
+        p0_banks=_to_banks(p0),
+        packed_banks=(
+            np.concatenate([b for b, _ in tm])
+            if tm else np.full((1, _LANE), -1, np.int32)
+        ),
+        side_banks=(
+            np.concatenate([b for b, _ in ts])
+            if ts else np.zeros((1, _LANE), np.int32)
+        ),
+        steps=tuple(specs),
+        p0_miss=p0_miss,
+        max_pat_len=shard.max_pat_len,
+    )

@@ -110,76 +110,84 @@ def _make_pair_kernel(
                 bitss.append(
                     fin1.astype(jnp.int32) | jnp.where(fin2, 2, 0)
                 )
-            else:
-                bitss.append(jnp.zeros((_SUB, _LANE), jnp.int32))
             disps.append(
                 jnp.where(alive, jax.lax.shift_right_logical(v, 2), disp_miss)
             )
             curs.append(cur)
 
-        carry = (tuple(curs), tuple(disps), tuple(cnts), tuple(bitss))
-        for k in range(1, n_pair_steps):
+        # carry excludes the bitmap tiles in count mode — lax.cond
+        # copies every carried vreg per skipped step, a real cost
+        carry = (tuple(curs), tuple(disps), tuple(cnts)) + (
+            (tuple(bitss),) if emit_bitmap else ()
+        )
+
+        def one_step(carry, k):
             po, pn, pk0 = p_offs[k - 1], p_nbs[k - 1], p_k0s[k - 1]
             so, sn, sk0 = s_offs[k - 1], s_nbs[k - 1], s_k0s[k - 1]
-
-            def step(carry, k=k, po=po, pn=pn, pk0=pk0, so=so, sn=sn,
-                     sk0=sk0):
-                curs, disps, cnts, bitss = (
-                    list(carry[0]), list(carry[1]),
-                    list(carry[2]), list(carry[3]),
+            curs, disps, cnts = (
+                list(carry[0]), list(carry[1]), list(carry[2])
+            )
+            bitss = list(carry[3]) if emit_bitmap else None
+            for i in range(tpc):
+                rolled = jnp.take_along_axis(curs[i], lane_next2, axis=1)
+                bidx = jnp.broadcast_to(
+                    jnp.int32(2 * k - 2), (_SUB, _LANE)
+                ) + lane_par
+                bcol = jnp.take_along_axis(b_s[i], bidx, axis=1)
+                cur = jnp.where(at_tail, bcol, rolled)
+                disp = disps[i]
+                # odd-completion (side) probe: fin for depth 2k+1
+                a1 = cur & ((1 << cb) - 1)
+                sidx = disp + a1
+                w = _lut(s_ref, jax.lax.shift_right_logical(sidx, 2),
+                         sn, so, sk0)
+                byte = (
+                    jax.lax.shift_right_logical(w, (sidx & 3) << 3)
+                ) & 255
+                fin_mid = byte == a1 + 1
+                # pair probe: fin for depth 2k+2 + next displacement
+                idx = disp + cur
+                g = _lut(p_ref, idx, pn, po, pk0)
+                hit = (g >= 0) & ((g & pair_mask) == cur)
+                fin_end = hit & ((g & fin_bit) != 0)
+                cnts[i] = (
+                    cnts[i]
+                    + fin_mid.astype(jnp.int32)
+                    + fin_end.astype(jnp.int32)
                 )
-                for i in range(tpc):
-                    rolled = jnp.take_along_axis(curs[i], lane_next2, axis=1)
-                    bidx = jnp.broadcast_to(
-                        jnp.int32(2 * k - 2), (_SUB, _LANE)
-                    ) + lane_par
-                    bcol = jnp.take_along_axis(b_s[i], bidx, axis=1)
-                    cur = jnp.where(at_tail, bcol, rolled)
-                    disp = disps[i]
-                    # odd-completion (side) probe: fin for depth 2k+1
-                    a1 = cur & ((1 << cb) - 1)
-                    sidx = disp + a1
-                    w = _lut(s_ref, jax.lax.shift_right_logical(sidx, 2),
-                             sn, so, sk0)
-                    byte = (
-                        jax.lax.shift_right_logical(w, (sidx & 3) << 3)
-                    ) & 255
-                    fin_mid = byte == a1 + 1
-                    # pair probe: fin for depth 2k+2 + next displacement
-                    idx = disp + cur
-                    g = _lut(p_ref, idx, pn, po, pk0)
-                    hit = (g >= 0) & ((g & pair_mask) == cur)
-                    fin_end = hit & ((g & fin_bit) != 0)
-                    cnts[i] = (
-                        cnts[i]
-                        + fin_mid.astype(jnp.int32)
-                        + fin_end.astype(jnp.int32)
-                    )
-                    if emit_bitmap:
-                        bitss[i] = (
-                            bitss[i]
-                            | jnp.where(fin_mid, jnp.int32(1) << (2 * k), 0)
-                            | jnp.where(
-                                fin_end, jnp.int32(1) << (2 * k + 1), 0
-                            )
+                if emit_bitmap:
+                    bitss[i] = (
+                        bitss[i]
+                        | jnp.where(fin_mid, jnp.int32(1) << (2 * k), 0)
+                        | jnp.where(
+                            fin_end, jnp.int32(1) << (2 * k + 1), 0
                         )
-                    disps[i] = jnp.where(
-                        hit,
-                        jax.lax.shift_right_logical(g, val_shift),
-                        disp_miss,
                     )
-                    curs[i] = cur
-                return (tuple(curs), tuple(disps), tuple(cnts), tuple(bitss))
+                disps[i] = jnp.where(
+                    hit,
+                    jax.lax.shift_right_logical(g, val_shift),
+                    disp_miss,
+                )
+                curs[i] = cur
+            out = (tuple(curs), tuple(disps), tuple(cnts))
+            return out + ((tuple(bitss),) if emit_bitmap else ())
 
+        for k in range(1, n_pair_steps):
             if k < cond_from:
-                carry = step(carry)
-            else:
-                alive = carry[1][0] != disp_miss
-                for d in carry[1][1:]:
-                    alive = alive | (d != disp_miss)
-                carry = jax.lax.cond(jnp.any(alive), step, lambda c: c, carry)
+                carry = one_step(carry, k)
+                continue
+            alive = carry[1][0] != disp_miss
+            for d in carry[1][1:]:
+                alive = alive | (d != disp_miss)
+            carry = jax.lax.cond(
+                jnp.any(alive),
+                lambda c, k=k: one_step(c, k),
+                lambda c: c,
+                carry,
+            )
 
-        _curs, _disps, cnts, bitss = carry
+        curs, _disps, cnts = carry[0], carry[1], carry[2]
+        bitss = carry[3] if emit_bitmap else None
         if emit_bitmap:
             cnt_ref, bits_ref = out_refs
             for i in range(tpc):

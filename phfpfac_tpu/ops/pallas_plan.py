@@ -1,0 +1,334 @@
+"""Pallas TPU PFAC kernel over cost-planned hybrid-stride tables.
+
+Walks compile.plan's static step plan: a dense depths-1+2 probe, then
+per step either a one-byte (mono) or two-byte (pair + side) probe —
+whichever the build-time DP priced cheaper for that depth.  Probe
+mechanics match ops.pallas_pair / ops.pallas_depth; the char window
+is the staged pair-symbol stream (stage_pairs), advanced by the
+step's stride, with mono symbols extracted as ``pair & (2^CB - 1)``.
+
+Same bitmap/count contracts as the other kernels.  Exact mode only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phfpfac_tpu.compile.pair import PairUnsupported
+from phfpfac_tpu.compile.plan import PlanTables, build_plan_tables
+from phfpfac_tpu.compile.tables import ShardTables
+from phfpfac_tpu.ops.pallas_depth import _common, staged_rows
+from phfpfac_tpu.ops.pallas_pair import stage_pairs
+from phfpfac_tpu.ops.pallas_scan import _LANE, _SUB, TILE, _lut
+
+
+def _make_plan_kernel(
+    *,
+    steps: tuple,  # tuple[StepSpec]
+    nb_p0: int, cb: int, p0_miss: int,
+    emit_bitmap: bool, tiles_per_cell: int, cond_from: int,
+):
+    from jax.experimental import pallas as pl
+
+    tpc = tiles_per_cell
+    cbm = (1 << cb) - 1
+    pair_mask = (1 << (2 * cb)) - 1
+
+    def kernel(in_ref, halo_ref, shift_ref, p0_ref, m_ref, s_ref, *out_refs):
+        cell = pl.program_id(0)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+
+        rpc = _SUB * tpc
+        block = in_ref[:]
+        a_s = [block[i * _SUB : (i + 1) * _SUB, :] for i in range(tpc)]
+        b_s = [
+            block[i * _SUB + 1 : (i + 1) * _SUB + 1, :]
+            for i in range(tpc - 1)
+        ]
+        b_s.append(
+            jnp.concatenate(
+                [block[rpc - _SUB + 1 : rpc, :], halo_ref[0:1, :]], axis=0
+            )
+        )
+        pos_s = [
+            (cell * tpc + i) * TILE + sub * _LANE + lane for i in range(tpc)
+        ]
+
+        # step 0: dense depths-1+2 probe (offset 0)
+        curs, disps, cnts, bitss = [], [], [], []
+        for i in range(tpc):
+            cur = a_s[i]
+            v = _lut(p0_ref, cur, nb_p0)
+            alive = v >= 0
+            fin1 = alive & ((v & 1) == 1)
+            fin2 = alive & ((v & 2) == 2)
+            cnts.append(fin1.astype(jnp.int32) + fin2.astype(jnp.int32))
+            if emit_bitmap:
+                bitss.append(fin1.astype(jnp.int32) | jnp.where(fin2, 2, 0))
+            else:
+                bitss.append(jnp.zeros((_SUB, _LANE), jnp.int32))
+            disps.append(
+                jnp.where(alive, jax.lax.shift_right_logical(v, 2), p0_miss)
+            )
+            curs.append(cur)
+
+        carry = (tuple(curs), tuple(disps), tuple(cnts), tuple(bitss))
+        offset = 0
+        prev_miss = p0_miss
+        for si, sp in enumerate(steps):
+            n_adv = (sp.depth0 - 1) - offset  # chars to advance (1 or 2)
+            offset = sp.depth0 - 1
+            lane_next = (lane + n_adv) & (_LANE - 1)
+            at_tail = lane >= (_LANE - n_adv)
+            bcol_idx = (jnp.broadcast_to(
+                jnp.int32(offset - _LANE), (_SUB, _LANE)
+            ) + lane) & (_LANE - 1)
+
+            def step(carry, sp=sp, lane_next=lane_next, at_tail=at_tail,
+                     bcol_idx=bcol_idx):
+                curs, disps, cnts, bitss = (
+                    list(carry[0]), list(carry[1]),
+                    list(carry[2]), list(carry[3]),
+                )
+                for i in range(tpc):
+                    rolled = jnp.take_along_axis(curs[i], lane_next, axis=1)
+                    bcol = jnp.take_along_axis(b_s[i], bcol_idx, axis=1)
+                    cur = jnp.where(at_tail, bcol, rolled)
+                    disp = disps[i]
+                    bit0 = sp.depth0 - 1
+                    if sp.kind == "mono":
+                        sym = cur & cbm
+                        idx = disp + sym
+                        g = _lut(m_ref, idx, sp.nb, sp.off, sp.k0)
+                        hit = (g >= 0) & ((g & cbm) == sym)
+                        fin = hit & ((g & (1 << cb)) != 0)
+                        cnts[i] = cnts[i] + fin.astype(jnp.int32)
+                        if emit_bitmap:
+                            bitss[i] = bitss[i] | jnp.where(
+                                fin, jnp.int32(1) << bit0, 0
+                            )
+                        disps[i] = jnp.where(
+                            hit,
+                            jax.lax.shift_right_logical(g, cb + 1),
+                            sp.miss,
+                        )
+                    else:
+                        a1 = cur & cbm
+                        sidx = disp + a1
+                        w = _lut(
+                            s_ref, jax.lax.shift_right_logical(sidx, 2),
+                            sp.s_nb, sp.s_off, sp.s_k0,
+                        )
+                        byte = (
+                            jax.lax.shift_right_logical(w, (sidx & 3) << 3)
+                        ) & 255
+                        fin_mid = byte == a1 + 1
+                        idx = disp + cur
+                        g = _lut(m_ref, idx, sp.nb, sp.off, sp.k0)
+                        hit = (g >= 0) & ((g & pair_mask) == cur)
+                        fin_end = hit & ((g & (1 << (2 * cb))) != 0)
+                        cnts[i] = (
+                            cnts[i]
+                            + fin_mid.astype(jnp.int32)
+                            + fin_end.astype(jnp.int32)
+                        )
+                        if emit_bitmap:
+                            bitss[i] = (
+                                bitss[i]
+                                | jnp.where(fin_mid, jnp.int32(1) << bit0, 0)
+                                | jnp.where(
+                                    fin_end, jnp.int32(1) << (bit0 + 1), 0
+                                )
+                            )
+                        disps[i] = jnp.where(
+                            hit,
+                            jax.lax.shift_right_logical(g, 2 * cb + 1),
+                            sp.miss,
+                        )
+                    curs[i] = cur
+                return (tuple(curs), tuple(disps), tuple(cnts), tuple(bitss))
+
+            if si < cond_from:
+                carry = step(carry)
+            else:
+                alive = carry[1][0] != prev_miss
+                for dsp in carry[1][1:]:
+                    alive = alive | (dsp != prev_miss)
+                carry = jax.lax.cond(jnp.any(alive), step, lambda c: c, carry)
+            prev_miss = sp.miss
+
+        _curs, _disps, cnts, bitss = carry
+        if emit_bitmap:
+            cnt_ref, bits_ref = out_refs
+            for i in range(tpc):
+                cnt_ref[pl.ds(i * _SUB, _SUB), :] = cnts[i]
+                bits_ref[pl.ds(i * _SUB, _SUB), :] = bitss[i]
+        else:
+            (partial_ref,) = out_refs
+            shift = shift_ref[0]
+            acc = jnp.zeros((_SUB, _LANE), jnp.int32)
+            for i in range(tpc):
+                acc = acc + jnp.where(pos_s[i] >= shift, cnts[i], 0)
+            partial_ref[:, :] = acc
+
+    return kernel
+
+
+_STATICS = (
+    "steps", "nb_p0", "cb", "p0_miss", "interpret", "tpc", "cond_from",
+)
+
+
+def _specs(tpc):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return [
+        pl.BlockSpec((tpc * _SUB, _LANE), lambda i: (i, 0)),
+        pl.BlockSpec((_SUB, _LANE), lambda i, t=tpc: (i * t + t, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS)
+def _plan_scan_bitmap(
+    data2d, s0_dummy, p0_banks, packed_banks, side_banks,
+    *, steps, nb_p0, cb, p0_miss, interpret, tpc, cond_from,
+):
+    from jax.experimental import pallas as pl
+
+    n_cells, tpc = _common(data2d, tpc)
+    kernel = _make_plan_kernel(
+        steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss,
+        emit_bitmap=True, tiles_per_cell=tpc, cond_from=cond_from,
+    )
+    rows_pc = tpc * _SUB
+    cnt, bits = pl.pallas_call(
+        kernel,
+        grid=(n_cells,),
+        in_specs=_specs(tpc),
+        out_specs=(
+            pl.BlockSpec((rows_pc, _LANE), lambda i: (i, 0)),
+            pl.BlockSpec((rows_pc, _LANE), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_cells * rows_pc, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((n_cells * rows_pc, _LANE), jnp.int32),
+        ),
+        interpret=interpret,
+    )(data2d, data2d, s0_dummy, p0_banks, packed_banks, side_banks)
+    return cnt.reshape(-1), bits.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS)
+def _plan_scan_count(
+    data2d, shift, p0_banks, packed_banks, side_banks,
+    *, steps, nb_p0, cb, p0_miss, interpret, tpc, cond_from,
+):
+    from jax.experimental import pallas as pl
+
+    n_cells, tpc = _common(data2d, tpc)
+    kernel = _make_plan_kernel(
+        steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss,
+        emit_bitmap=False, tiles_per_cell=tpc, cond_from=cond_from,
+    )
+    partial = pl.pallas_call(
+        kernel,
+        grid=(n_cells,),
+        in_specs=_specs(tpc),
+        out_specs=pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_cells * _SUB, _LANE), jnp.int32),
+        interpret=interpret,
+    )(data2d, data2d, shift.reshape(1), p0_banks, packed_banks, side_banks)
+    return partial.sum()
+
+
+class PlanShardScanner:
+    """Bitmap-mode hybrid-stride scanner for one shard (exact mode)."""
+
+    def __init__(self, shard: ShardTables, *, interpret: bool = False,
+                 tpc: int = 16, cond_from: int = 4):
+        self.pt: PlanTables = build_plan_tables(shard)
+        self.shard = shard
+        self.interpret = interpret
+        self.tpc = tpc
+        self.cond_from = cond_from
+        self._code = jnp.asarray(self.pt.code_of)
+
+    def _statics(self):
+        pt = self.pt
+        return dict(
+            steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
+            p0_miss=pt.p0_miss, interpret=self.interpret, tpc=self.tpc,
+            cond_from=self.cond_from,
+        )
+
+    def scan(self, data_padded, input_size, cfg, max_steps):
+        if cfg.truncation == "segment":
+            raise PairUnsupported("segment truncation needs stride-1")
+        n_pos = len(data_padded) - max_steps
+        data2d = stage_pairs(
+            jnp.asarray(data_padded), jnp.asarray(np.int32(input_size)),
+            self._code, n_rows=staged_rows(n_pos), cb=self.pt.code_bits,
+        )
+        return _plan_scan_bitmap(
+            data2d, jnp.zeros(1, jnp.int32),
+            jnp.asarray(self.pt.p0_banks),
+            jnp.asarray(self.pt.packed_banks),
+            jnp.asarray(self.pt.side_banks),
+            **self._statics(),
+        )
+
+
+class PlanCountScan:
+    """Count-mode hybrid-stride scan (bench protocol: prepare + scan)."""
+
+    def __init__(self, shard: ShardTables, max_steps: int, *,
+                 interpret: bool = False, tpc: int = 16, cond_from: int = 4):
+        self.pt = build_plan_tables(shard)
+        self.max_steps = max_steps
+        self.interpret = interpret
+        self.tpc = tpc
+        self.cond_from = cond_from
+        self._code = jnp.asarray(self.pt.code_of)
+        self._p0 = jnp.asarray(self.pt.p0_banks)
+        self._m = jnp.asarray(self.pt.packed_banks)
+        self._s = jnp.asarray(self.pt.side_banks)
+
+    def prepare(self, data_padded, input_size):
+        n_pos = len(data_padded) - self.max_steps
+        return stage_pairs(
+            jnp.asarray(data_padded), jnp.asarray(np.int32(input_size)),
+            self._code, n_rows=staged_rows(n_pos), cb=self.pt.code_bits,
+        )
+
+    def scan(self, staged, input_size, shift):
+        pt = self.pt
+        return _plan_scan_count(
+            staged, jnp.asarray(shift, jnp.int32),
+            self._p0, self._m, self._s,
+            steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
+            p0_miss=pt.p0_miss, interpret=self.interpret, tpc=self.tpc,
+            cond_from=self.cond_from,
+        )
+
+    def __call__(self, data_padded, input_size, shift):
+        return self.scan(self.prepare(data_padded, input_size),
+                         input_size, shift)
+
+
+def plan_count_scanner(shard: ShardTables, max_steps: int, *,
+                       interpret: bool = False, tpc: int = 16,
+                       cond_from: int = 4) -> PlanCountScan:
+    return PlanCountScan(
+        shard, max_steps, interpret=interpret, tpc=tpc, cond_from=cond_from
+    )

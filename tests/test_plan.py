@@ -1,0 +1,57 @@
+"""Cost-planned hybrid-stride kernel (ops.pallas_plan) parity."""
+
+import numpy as np
+
+from phfpfac_tpu.compile.plan import build_plan_tables
+from phfpfac_tpu.compile.tables import compile_patterns
+from phfpfac_tpu.frontend.patterns import Pattern
+from phfpfac_tpu.ops.common import pad_input, padded_steps
+from phfpfac_tpu.ops.pallas_depth import DepthShardScanner
+from phfpfac_tpu.ops.pallas_plan import PlanShardScanner
+from phfpfac_tpu.oracle.ac import match_oracle
+from phfpfac_tpu.utils.config import PfacConfig
+
+
+def _check(words, data, width=256):
+    pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
+    cfg = PfacConfig(width=width, num_shards=1, truncation="none")
+    compiled = compile_patterns(pats, cfg)
+    sh = compiled.shards[0]
+    ms = padded_steps(compiled.max_pat_len)
+    n = len(data)
+    padded = pad_input(data, 1024, ms)
+    cnt_p, bits_p = map(
+        np.asarray, PlanShardScanner(sh, interpret=True).scan(padded, n, cfg, ms)
+    )
+    cnt_d, bits_d = map(
+        np.asarray, DepthShardScanner(sh, interpret=True).scan(padded, n, cfg, ms)
+    )
+    assert (cnt_p[:n] == cnt_d[:n]).all()
+    assert (bits_p[:n] == bits_d[:n]).all()
+    assert cnt_p[:n].sum() == len(match_oracle(pats, data, cfg))
+    return sh
+
+
+def test_experiment_corpus(reference_dir):
+    words = (reference_dir / "experimentpattern").read_bytes().split()
+    _check(words, (reference_dir / "experimentinput").read_bytes())
+
+
+def test_english_mixed_plan(reference_dir):
+    words = (reference_dir / "xab").read_bytes().split()[:700]
+    data = (reference_dir / "1M").read_bytes()[:32768]
+    sh = _check(words, data, width=1024)
+    pt = build_plan_tables(sh)
+    kinds = {s.kind for s in pt.steps}
+    assert kinds <= {"mono", "pair"} and len(pt.steps) >= 3
+
+
+def test_random_alpha():
+    rng = np.random.default_rng(11)
+    alpha = np.frombuffer(b"abcdefghij. -'", dtype=np.uint8)
+    words = [
+        bytes(alpha[rng.integers(0, len(alpha), int(rng.integers(1, 9)))])
+        for _ in range(250)
+    ]
+    data = bytes(alpha[rng.integers(0, len(alpha), 16384)])
+    _check(words, data)
