@@ -51,7 +51,7 @@ def main() -> None:
     compiled = compile_patterns(pats, cfg)
     shard = compiled.shards[0]
 
-    data = open("/root/reference/regex_GPU_PHF/1M", "rb").read() * 32
+    data = open("/root/reference/regex_GPU_PHF/1M", "rb").read() * 128
     n = len(data)
     max_steps = padded_steps(compiled.max_pat_len)
     padded = pad_input(data, 1024, max_steps)
@@ -73,7 +73,7 @@ def main() -> None:
     total0 = int(np.asarray(seed))  # forces compile + execution
 
     reps = []
-    K = 16
+    K = 8
     for _ in range(3):
         s = jnp.int32(0)
         t0 = time.perf_counter()
@@ -87,7 +87,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "pfac_scan_throughput_full_english_dict_32MiB",
+                "metric": "pfac_scan_throughput_full_english_dict_128MiB",
                 "value": round(gbs, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(gbs / BASELINE_GBPS, 2),
