@@ -89,7 +89,10 @@ def _reconstruct_dense(shard: ShardTables) -> np.ndarray:
     keys = rows * shard.width + cols
     states = keys >> 8
     chars = keys & 255
-    keep = states < shard.state_num  # guard against corrupt tables
+    # guard against corrupt/truncated tables: negative cols (r[row]
+    # past the slot) would otherwise wrap through negative indexing
+    keep = (states >= 0) & (states < shard.state_num) & (cols >= 0) \
+        & (cols < shard.width)
     dense[states[keep], chars[keep]] = shard.val[idx[keep]]
     return dense
 

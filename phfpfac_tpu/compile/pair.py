@@ -88,6 +88,60 @@ class PairTables:
     max_pat_len: int
 
 
+def collect_alphabet(shard: ShardTables, class_tr, D: int):
+    """(code_of int32[256], sigma, cb): compact the dictionary bytes.
+
+    Unused bytes (and the staging pad) map to the reserved miss code
+    ``sigma``, which no stored entry contains."""
+    used = np.zeros(256, dtype=bool)
+    used[[c for c in range(256) if shard.s0[c] >= 0]] = True
+    for li in range(D):
+        for tr in class_tr[li]:
+            for c, _ in tr:
+                used[c] = True
+    sigma = int(used.sum())
+    if sigma > MAX_SIGMA:
+        raise PairUnsupported(f"alphabet too large ({sigma} > {MAX_SIGMA})")
+    cb = max(sigma.bit_length(), 1)
+    code_of = np.full(256, sigma, dtype=np.int32)
+    code_of[np.flatnonzero(used)] = np.arange(sigma, dtype=np.int32)
+    return code_of, sigma, cb
+
+
+def build_dense_p0(
+    shard: ShardTables, class_fin, class_tr, s0_class, code_of, cb: int,
+    D: int, landing_fn, miss: int,
+) -> np.ndarray:
+    """Dense depths-1+2 table: entry (disp << 2) | (fin2 << 1) | fin1,
+    indexed by pair symbol (code2 << cb) | code1; -1 = no depth-1
+    state.  ``landing_fn(cls)`` supplies the displacement stored for a
+    depth-2 landing; fin1-only rows backfill EVERY second code
+    (including the miss code) because a depth-1 match exists whatever
+    follows it."""
+    p0 = np.full(1 << (2 * cb), -1, dtype=np.int32)
+    for c1 in range(256):
+        u = int(shard.s0[c1])
+        if u < 0:
+            continue
+        a = int(code_of[c1])
+        u_cls = s0_class[u]
+        fin1 = 1 if class_fin[0][u_cls] else 0
+        seen_b = set()
+        if D >= 2:
+            for c2, v_cls in class_tr[0][u_cls]:
+                bcode = int(code_of[c2])
+                seen_b.add(bcode)
+                fin2 = 1 if class_fin[1][v_cls] else 0
+                p0[(bcode << cb) | a] = (
+                    (landing_fn(v_cls) << 2) | (fin2 << 1) | fin1
+                )
+        if fin1:
+            for bcode in range(1 << cb):
+                if bcode not in seen_b:
+                    p0[(bcode << cb) | a] = (miss << 2) | fin1
+    return p0
+
+
 def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTables:
     if shard.max_pat_len > MAX_DEPTH_STEPS:
         raise PairUnsupported("max pattern length exceeds bitmap width")
@@ -106,18 +160,7 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
     class_fin, class_tr, s0_class = _minimize_levels(dense, levels, nf)
 
     # ---- alphabet coding -------------------------------------------------
-    used = np.zeros(256, dtype=bool)
-    used[[c for c in range(256) if shard.s0[c] >= 0]] = True
-    for li in range(D):
-        for tr in class_tr[li]:
-            for c, _ in tr:
-                used[c] = True
-    sigma = int(used.sum())
-    if sigma > MAX_SIGMA:
-        raise PairUnsupported(f"alphabet too large ({sigma} > {MAX_SIGMA})")
-    cb = max((sigma + 1 - 1).bit_length(), 1)  # ceil(log2(sigma+1))
-    code_of = np.full(256, sigma, dtype=np.int32)  # miss code = sigma
-    code_of[np.flatnonzero(used)] = np.arange(sigma, dtype=np.int32)
+    code_of, sigma, cb = collect_alphabet(shard, class_tr, D)
     pair_span = 1 << (2 * cb)
 
     # ---- per-even-level pair transitions + side entries ------------------
@@ -220,32 +263,10 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
         s_tables.append(sb.view("<u4").astype(np.int64).astype(np.int32))
 
     # ---- dense P_0 (depths 1 + 2) ----------------------------------------
-    p0 = np.full(pair_span, -1, dtype=np.int32)
-    for c1 in range(256):
-        u = int(shard.s0[c1])
-        if u < 0:
-            continue
-        a = int(code_of[c1])
-        u_cls = s0_class[u]
-        fin1 = 1 if class_fin[0][u_cls] else 0
-        # pairs (a, b) for every depth-2 continuation
-        seen_b = set()
-        if D >= 2:
-            for c2, v_cls in class_tr[0][u_cls]:
-                b = int(code_of[c2])
-                seen_b.add(b)
-                fin2 = 1 if class_fin[1][v_cls] else 0
-                dn = disp_into(v_cls, 1)
-                p0[(b << cb) | a] = (dn << 2) | (fin2 << 1) | fin1
-        if fin1:
-            # depth-1 match must be emitted for EVERY second byte,
-            # including ones with no depth-2 continuation
-            for b in range(1 << cb):
-                if b not in seen_b:
-                    p0[(b << cb) | a] = (pair_miss << 2) | fin1
-        # dense table: no verification needed.  Pairs whose second
-        # byte is the miss code stay -1 unless fin1 fills them — a
-        # depth-1 match exists regardless of the following byte.
+    p0 = build_dense_p0(
+        shard, class_fin, class_tr, s0_class, code_of, cb, D,
+        landing_fn=lambda cls: disp_into(cls, 1), miss=pair_miss,
+    )
 
     trimmed_p = [_to_banks_trimmed(t) for t in p_tables]
     trimmed_s = [_to_banks_trimmed(t, fill=0) for t in s_tables]

@@ -29,8 +29,14 @@ Entry layouts (int32):
     mono:  (next_disp << (CB+1))   | (fin << CB)   | code
     pair:  (next_disp << (2CB+1))  | (fin << 2CB)  | pair
     P0:    (next_disp << 2) | (fin2 << 1) | fin1      (dense; no verify)
-Dead walkers carry the emitting step's miss sentinel
-(all-ones in its disp field), which indexes past every bank.
+
+ONE miss sentinel serves the whole plan — all-ones in the NARROWEST
+value field (the pair kind's, 30-2CB bits) — so dead walkers compare
+against a single constant regardless of which step kind killed them,
+and every table is validated to sit strictly below it (offsets < MISS
+and table_len + colspan <= MISS, so a sentinel-carrying probe can
+never index into a real bank and a live displacement can never alias
+the sentinel).
 """
 
 from __future__ import annotations
@@ -50,7 +56,11 @@ from phfpfac_tpu.compile.depth import (
     _to_banks,
     _to_banks_trimmed,
 )
-from phfpfac_tpu.compile.pair import MAX_SIGMA, PairUnsupported
+from phfpfac_tpu.compile.pair import (
+    PairUnsupported,
+    build_dense_p0,
+    collect_alphabet,
+)
 from phfpfac_tpu.compile.tables import ShardTables
 
 _LANE = 128
@@ -115,18 +125,7 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     class_fin, class_tr, s0_class = _minimize_levels(dense, levels, nf)
 
     # ---- alphabet coding --------------------------------------------------
-    used = np.zeros(256, dtype=bool)
-    used[[c for c in range(256) if shard.s0[c] >= 0]] = True
-    for li in range(D):
-        for tr in class_tr[li]:
-            for c, _ in tr:
-                used[c] = True
-    sigma = int(used.sum())
-    if sigma > MAX_SIGMA:
-        raise PairUnsupported(f"alphabet too large ({sigma} > {MAX_SIGMA})")
-    cb = max(sigma.bit_length(), 1)
-    code_of = np.full(256, sigma, dtype=np.int32)
-    code_of[np.flatnonzero(used)] = np.arange(sigma, dtype=np.int32)
+    code_of, _sigma, cb = collect_alphabet(shard, class_tr, D)
     pair_span = 1 << (2 * cb)
     mono_span = 1 << cb
 
@@ -173,6 +172,10 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
         plan_kinds.append((k, d))
         d += 2 if k == "pair" else 1
 
+    # ONE dead sentinel for the whole plan: all-ones in the narrowest
+    # value field (pair's).  Every table must fit strictly below it.
+    miss = (1 << (30 - 2 * cb)) - 1
+
     # ---- build tables in reverse plan order (disp chaining) ---------------
     # For each step: rows = classes at its start depth.
     built: list[dict] = [None] * len(plan_kinds)
@@ -180,15 +183,10 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     # landing on a class at that step's start depth
     disp_of: list[np.ndarray] = [None] * (len(plan_kinds) + 1)
 
-    def landing(i: int, cls: int, storing_vshift: int) -> int:
-        """Value-field (disp) stored by a step with ``storing_vshift``
-        for a walker landing on class ``cls`` at step i's start depth.
-
-        Dead landings (past the last step, or a class with no onward
-        table row) get the STORING step's miss sentinel — it both fits
-        the storer's value field and matches the alive-check constant
-        the kernel uses after that step."""
-        miss = (1 << (31 - storing_vshift)) - 1
+    def landing(i: int, cls: int) -> int:
+        """Value-field (disp) stored for a walker landing on class
+        ``cls`` at step i's start depth; the global miss sentinel for
+        dead landings (past the last step / no onward row)."""
         if i >= len(plan_kinds):
             return miss
         off = disp_of[i][cls]
@@ -200,7 +198,7 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
         trs = class_tr[li]
         if kind == "mono":
             vshift = cb + 1
-            cols_list, vals_list, side_list = [], [], None
+            cols_list, vals_list = [], []
             for tr in trs:
                 cols = [int(code_of[c]) for c, _ in tr]
                 order = np.argsort(cols)
@@ -249,13 +247,19 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
             )
 
     # ---- fill -------------------------------------------------------------
+    # every table must sit strictly below the sentinel: probes carrying
+    # it must fall past all banks, and no live displacement may alias it
+    span_of = {"mono": mono_span, "pair": pair_span}
+    for b in built:
+        if np.max(b["offsets"], initial=0) >= miss:
+            raise PairUnsupported("displacement reaches the miss sentinel")
+        if b["ht_len"] + span_of[b["kind"]] > miss:
+            raise PairUnsupported("table too large for the miss sentinel")
+
     main_tables, side_tables = [], []
     for i, b in enumerate(built):
         kind, d, vshift = b["kind"], b["d"], b["vshift"]
-        if np.max(b["offsets"], initial=0) >= (1 << (31 - vshift)) - 1:
-            raise PairUnsupported("displacement exceeds entry bits")
         tbl = np.full(b["ht_len"], -1, dtype=np.int32)
-        trs = class_tr[d - 1]
         nxt = i + 1
         if kind == "mono":
             for r, cols in enumerate(b["cols"]):
@@ -265,7 +269,7 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
                 for j, code in enumerate(cols):
                     mid = b["vals"][r][j]
                     # next step starts at depth d+1 (landing class mid)
-                    nv = landing(nxt, mid, vshift)
+                    nv = landing(nxt, mid)
                     fin = 1 if class_fin[d][mid] else 0
                     tbl[off + int(code)] = (
                         (nv << vshift) | (fin << cb) | int(code)
@@ -279,7 +283,7 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
                     continue
                 for j, pair in enumerate(cols):
                     end = b["vals"][r][j]
-                    nv = landing(nxt, end, vshift)
+                    nv = landing(nxt, end)
                     fin = 1 if class_fin[d + 1][end] else 0
                     tbl[off + int(pair)] = (
                         (nv << vshift) | (fin << (2 * cb)) | int(pair)
@@ -294,37 +298,11 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
         main_tables.append(tbl)
 
     # ---- dense P0 (depths 1 + 2) -------------------------------------------
-    p0_miss = (1 << 22) - 1
-    p0 = np.full(pair_span, -1, dtype=np.int32)
-    if built and np.max(disp_of[0], initial=0) >= p0_miss:
-        raise PairUnsupported("first-step displacement exceeds P0 bits")
-
-    def p0_landing(cls: int) -> int:
-        if not built:
-            return p0_miss
-        off = disp_of[0][cls]
-        return int(off) if off != _EMPTY else p0_miss
-
-    for c1 in range(256):
-        u = int(shard.s0[c1])
-        if u < 0:
-            continue
-        a = int(code_of[c1])
-        u_cls = s0_class[u]
-        fin1 = 1 if class_fin[0][u_cls] else 0
-        seen_b = set()
-        if D >= 2:
-            for c2, v_cls in class_tr[0][u_cls]:
-                bcode = int(code_of[c2])
-                seen_b.add(bcode)
-                fin2 = 1 if class_fin[1][v_cls] else 0
-                p0[(bcode << cb) | a] = (
-                    (p0_landing(v_cls) << 2) | (fin2 << 1) | fin1
-                )
-        if fin1:
-            for bcode in range(mono_span):
-                if bcode not in seen_b:
-                    p0[(bcode << cb) | a] = (p0_miss << 2) | fin1
+    p0_miss = miss
+    p0 = build_dense_p0(
+        shard, class_fin, class_tr, s0_class, code_of, cb, D,
+        landing_fn=lambda cls: landing(0, cls), miss=miss,
+    )
 
     # ---- bank + spec assembly ----------------------------------------------
     tm = [_to_banks_trimmed(t) for t in main_tables]
@@ -333,13 +311,12 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     for i, b in enumerate(built):
         mb, mk0 = tm[i]
         sb, sk0 = ts[i]
-        vshift = b["vshift"]
         specs.append(
             StepSpec(
                 kind=b["kind"], depth0=b["d"] + 1,
                 off=m_acc, nb=mb.shape[0], k0=mk0,
                 s_off=s_acc, s_nb=sb.shape[0], s_k0=sk0,
-                miss=(1 << (31 - vshift)) - 1,
+                miss=miss,
             )
         )
         m_acc += mb.shape[0]

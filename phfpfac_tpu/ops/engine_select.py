@@ -71,11 +71,17 @@ def xla_count_scanner(shard: ShardTables, max_steps: int):
 def best_count_scanner(shard: ShardTables, max_steps: int):
     """Fastest available count-mode scan for one shard.
 
-    Preference order: stride-2 pair kernel (ops.pallas_pair — compact
-    alphabets) > depth-stratified kernel (ops.pallas_depth — tree
-    automata, max_pat_len <= 32) > banked-LUT pallas kernel > XLA
-    fori-loop scan.
+    Preference order: cost-planned hybrid-stride kernel
+    (ops.pallas_plan — compact alphabets) > stride-2 pair kernel >
+    depth-stratified kernel (any leveled automaton, max_pat_len <= 32)
+    > banked-LUT pallas kernel > XLA fori-loop scan.
     """
+    try:
+        from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+
+        return plan_count_scanner(shard, max_steps)
+    except Exception:  # noqa: BLE001 — PairUnsupported or no pallas
+        pass
     try:
         from phfpfac_tpu.ops.pallas_pair import pair_count_scanner
 

@@ -60,7 +60,9 @@ def _make_plan_kernel(
             (cell * tpc + i) * TILE + sub * _LANE + lane for i in range(tpc)
         ]
 
-        # step 0: dense depths-1+2 probe (offset 0)
+        # step 0: dense depths-1+2 probe (offset 0).  p0_miss is THE
+        # plan-wide dead sentinel (compile.plan builds every table
+        # strictly below it).
         curs, disps, cnts, bitss = [], [], [], []
         for i in range(tpc):
             cur = a_s[i]
@@ -71,16 +73,17 @@ def _make_plan_kernel(
             cnts.append(fin1.astype(jnp.int32) + fin2.astype(jnp.int32))
             if emit_bitmap:
                 bitss.append(fin1.astype(jnp.int32) | jnp.where(fin2, 2, 0))
-            else:
-                bitss.append(jnp.zeros((_SUB, _LANE), jnp.int32))
             disps.append(
                 jnp.where(alive, jax.lax.shift_right_logical(v, 2), p0_miss)
             )
             curs.append(cur)
 
-        carry = (tuple(curs), tuple(disps), tuple(cnts), tuple(bitss))
+        # count mode excludes the bitmap tiles from the carry —
+        # lax.cond copies every carried vreg on a skipped step
+        carry = (tuple(curs), tuple(disps), tuple(cnts)) + (
+            (tuple(bitss),) if emit_bitmap else ()
+        )
         offset = 0
-        prev_miss = p0_miss
         for si, sp in enumerate(steps):
             n_adv = (sp.depth0 - 1) - offset  # chars to advance (1 or 2)
             offset = sp.depth0 - 1
@@ -92,10 +95,10 @@ def _make_plan_kernel(
 
             def step(carry, sp=sp, lane_next=lane_next, at_tail=at_tail,
                      bcol_idx=bcol_idx):
-                curs, disps, cnts, bitss = (
-                    list(carry[0]), list(carry[1]),
-                    list(carry[2]), list(carry[3]),
+                curs, disps, cnts = (
+                    list(carry[0]), list(carry[1]), list(carry[2])
                 )
+                bitss = list(carry[3]) if emit_bitmap else None
                 for i in range(tpc):
                     rolled = jnp.take_along_axis(curs[i], lane_next, axis=1)
                     bcol = jnp.take_along_axis(b_s[i], bcol_idx, axis=1)
@@ -152,18 +155,21 @@ def _make_plan_kernel(
                             sp.miss,
                         )
                     curs[i] = cur
-                return (tuple(curs), tuple(disps), tuple(cnts), tuple(bitss))
+                out = (tuple(curs), tuple(disps), tuple(cnts))
+                return out + ((tuple(bitss),) if emit_bitmap else ())
 
             if si < cond_from:
                 carry = step(carry)
             else:
-                alive = carry[1][0] != prev_miss
+                # p0_miss is the plan-wide sentinel: valid whether the
+                # previous step ran or was itself skipped
+                alive = carry[1][0] != p0_miss
                 for dsp in carry[1][1:]:
-                    alive = alive | (dsp != prev_miss)
+                    alive = alive | (dsp != p0_miss)
                 carry = jax.lax.cond(jnp.any(alive), step, lambda c: c, carry)
-            prev_miss = sp.miss
 
-        _curs, _disps, cnts, bitss = carry
+        cnts = carry[2]
+        bitss = carry[3] if emit_bitmap else None
         if emit_bitmap:
             cnt_ref, bits_ref = out_refs
             for i in range(tpc):

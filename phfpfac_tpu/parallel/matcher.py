@@ -179,21 +179,28 @@ class Matcher:
         kernel (anything)."""
         if self._pallas_scanner is None:
             if self.config.truncation != "segment":
-                try:
-                    from phfpfac_tpu.ops.pallas_pair import PairShardScanner
+                for mod, cls_name in (
+                    ("phfpfac_tpu.ops.pallas_plan", "PlanShardScanner"),
+                    ("phfpfac_tpu.ops.pallas_pair", "PairShardScanner"),
+                ):
+                    try:
+                        import importlib
 
-                    self._pallas_scanner = (
-                        "depth",  # same per-shard bitmap protocol
-                        [
-                            PairShardScanner(
-                                sh, interpret=self.config.interpret
-                            )
-                            for sh in self.compiled.shards
-                        ],
-                    )
-                    return self._pallas_scanner
-                except Exception:  # noqa: BLE001 — PairUnsupported
-                    pass
+                        scanner_cls = getattr(
+                            importlib.import_module(mod), cls_name
+                        )
+                        self._pallas_scanner = (
+                            "depth",  # same per-shard bitmap protocol
+                            [
+                                scanner_cls(
+                                    sh, interpret=self.config.interpret
+                                )
+                                for sh in self.compiled.shards
+                            ],
+                        )
+                        return self._pallas_scanner
+                    except Exception:  # noqa: BLE001 — PairUnsupported
+                        continue
             try:
                 from phfpfac_tpu.ops.pallas_depth import DepthShardScanner
 

@@ -87,9 +87,9 @@ class TestPairParity:
         assert (cnt_p == cnt_d).all() and (bits_p == bits_d).all()
         assert cnt_p.sum() == len(match_oracle(pats, data, cfg))
 
-    def test_matcher_routes_to_pair(self, reference_dir):
+    def test_matcher_routes_to_stride2(self, reference_dir):
         from phfpfac_tpu.parallel.matcher import Matcher
-        from phfpfac_tpu.ops.pallas_pair import PairShardScanner as PSS
+        from phfpfac_tpu.ops.pallas_plan import PlanShardScanner as PSS
 
         words = (reference_dir / "experimentpattern").read_bytes().split()
         data = (reference_dir / "experimentinput").read_bytes()
@@ -101,5 +101,6 @@ class TestPairParity:
         m = Matcher(compiled, cfg, engine="pallas")
         got = [tuple(x) for x in m.match(data).tolist()]
         kind, scanners = m._get_pallas_scanner()
+        # the plan engine (stride-2 capable) now takes precedence
         assert kind == "depth" and isinstance(scanners[0], PSS)
         assert got == match_oracle(pats, data, cfg)
