@@ -74,7 +74,7 @@ def main() -> None:
 
     reps = []
     K = 8
-    for _ in range(3):
+    for _ in range(5):
         s = jnp.int32(0)
         t0 = time.perf_counter()
         for _ in range(K):

@@ -31,4 +31,6 @@ from phfpfac_tpu.compile.tables import (  # noqa: F401
     compile_patterns,
 )
 from phfpfac_tpu.frontend.patterns import read_patterns, shard_patterns  # noqa: F401
+from phfpfac_tpu.parallel.matcher import Matcher  # noqa: F401
+from phfpfac_tpu.parallel.stream import StreamMatcher, match_many  # noqa: F401
 from phfpfac_tpu.utils.config import PfacConfig  # noqa: F401

@@ -16,11 +16,15 @@ from phfpfac_tpu.utils.config import PfacConfig
 
 def _dict_and_corpus(seed: int):
     rng = np.random.default_rng(seed)
-    flavor = seed % 3
+    flavor = seed % 4
     if flavor == 0:  # small alphabet, heavy overlap (pair/plan kernels)
         alpha = np.frombuffer(b"abcd", dtype=np.uint8)
-    elif flavor == 1:  # english-like
+    elif flavor == 1:  # english-like (cb=5)
         alpha = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz ", dtype=np.uint8)
+    elif flavor == 2:  # 40+ symbols (cb=6: the 4096-entry dense P0)
+        alpha = np.frombuffer(
+            b"abcdefghijklmnopqrstuvwxyz0123456789 .,;:-'", dtype=np.uint8
+        )
     else:  # full binary incl 0x00/0xff (depth kernel, code-miss edges)
         alpha = np.arange(256, dtype=np.uint8)
     n_words = int(rng.integers(5, 120))
@@ -34,7 +38,7 @@ def _dict_and_corpus(seed: int):
     return words, data
 
 
-@pytest.mark.parametrize("seed", range(9))
+@pytest.mark.parametrize("seed", range(12))
 def test_engines_match_oracle(seed):
     words, data = _dict_and_corpus(seed)
     pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
