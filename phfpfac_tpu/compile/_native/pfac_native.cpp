@@ -118,22 +118,45 @@ int64_t pfac_ffdm(const int32_t* table, int64_t state_num, int64_t width,
   });
 
   // occupancy bitset over ht slots
-  std::vector<uint64_t> occ((ht_cap + 63) / 64, 0);
+  std::vector<uint64_t> occ((ht_cap + 63) / 64 + 1, 0);
   auto occupied = [&](int64_t s) {
     return (occ[s >> 6] >> (s & 63)) & 1u;
   };
   auto occupy = [&](int64_t s) { occ[s >> 6] |= (uint64_t{1} << (s & 63)); };
+  // first slot >= s that is free (word-scan)
+  auto next_free = [&](int64_t s) {
+    int64_t w = s >> 6;
+    uint64_t m = ~occ[w] & (~uint64_t{0} << (s & 63));
+    while (m == 0) m = ~occ[++w];
+    return (w << 6) + static_cast<int64_t>(__builtin_ctzll(m));
+  };
 
+  // Two EXACT accelerations of the reference's first-fit scan
+  // (phf.c:184-222 tries every offset from -cols[0] upward):
+  //  * first_free: slots below it are all occupied, so offsets with
+  //    offset+cols[0] < first_free are provably blocked — the long
+  //    tail of 1-col rows lands at the first hole instead of
+  //    rescanning the table front (this removes the quadratic term);
+  //  * run jump: when column c is blocked at slot offset+c, every
+  //    offset until that occupied run ends is blocked at c too, so
+  //    jump straight past it.
   int64_t max_offset = 0, max_slot = -1;
   const int64_t max_off_excl = ht_cap - width;
+  int64_t first_free = 0;
   for (int32_t oi : order) {
     const Row& row = rows[oi];
+    while (first_free < ht_cap && occupied(first_free)) ++first_free;
     const int64_t base = -static_cast<int64_t>(row.cols[0]);
-    int64_t offset = base;
-    for (; offset < max_off_excl; ++offset) {
+    int64_t offset = std::max(base, first_free - row.cols[0]);
+    while (offset < max_off_excl) {
       bool ok = true;
       for (int32_t c : row.cols) {
-        if (occupied(offset + c)) { ok = false; break; }
+        const int64_t s = offset + c;
+        if (occupied(s)) {
+          offset = next_free(s) - c;
+          ok = false;
+          break;
+        }
       }
       if (ok) break;
     }
