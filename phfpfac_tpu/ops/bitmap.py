@@ -16,9 +16,56 @@ import numpy as np
 
 from phfpfac_tpu.compile.tables import ShardTables
 
+_FETCH_BLOCK = 8192  # positions per sparsity block
+
+
+def fetch_hit_bits(bits_dev, input_size: int):
+    """Download only the bitmap blocks that contain hits.
+
+    The device->host link here is the expensive resource (a tunnel
+    with ~40 ms latency and limited bandwidth), and at realistic match
+    densities the per-position bitmap is almost entirely zero.  Two
+    small transfers — a per-block any() mask, then a gather of just
+    the hit blocks — replace the full n_pos*4-byte download.
+
+    Returns (hit_pos int64[], hit_bits uint32[]).
+    """
+    import jax.numpy as jnp
+
+    n = bits_dev.shape[0]
+    nb = n // _FETCH_BLOCK
+    blk = bits_dev[: nb * _FETCH_BLOCK].reshape(nb, _FETCH_BLOCK)
+    tail = np.asarray(bits_dev[nb * _FETCH_BLOCK :]).view(np.uint32)
+    nz = np.asarray(jnp.any(blk != 0, axis=1))
+    idx = np.flatnonzero(nz)
+    if idx.size > max(nb // 4, 1):
+        # dense matches: one bulk download beats many gathers
+        flat = np.asarray(bits_dev).view(np.uint32)
+        pos = np.nonzero(flat[:input_size])[0].astype(np.int64)
+        return pos, flat[pos]
+    parts_pos, parts_bits = [], []
+    if idx.size:
+        sel = np.asarray(
+            jnp.take(blk, jnp.asarray(idx), axis=0)
+        ).view(np.uint32)
+        p, j = np.nonzero(sel)
+        gpos = idx[p] * _FETCH_BLOCK + j
+        parts_pos.append(gpos.astype(np.int64))
+        parts_bits.append(sel[p, j])
+    tp = np.nonzero(tail)[0]
+    if tp.size:
+        parts_pos.append((nb * _FETCH_BLOCK + tp).astype(np.int64))
+        parts_bits.append(tail[tp])
+    if not parts_pos:
+        return np.empty(0, np.int64), np.empty(0, np.uint32)
+    pos = np.concatenate(parts_pos)
+    bitvals = np.concatenate(parts_bits)
+    keep = pos < input_size
+    return pos[keep], bitvals[keep]
+
 
 def decode_bitmap(
-    bits: np.ndarray,  # int32 [>= input_size]
+    bits: np.ndarray,  # int32 [>= input_size] (host or device)
     data: bytes | np.ndarray,
     input_size: int,
     shard: ShardTables,
@@ -28,6 +75,19 @@ def decode_bitmap(
     (pos, step), by re-walking hit positions through the shard's PHF."""
     bits = np.asarray(bits)[:input_size].view(np.uint32)
     hit_pos = np.nonzero(bits)[0].astype(np.int64)
+    return decode_hits(bits[hit_pos], hit_pos, data, input_size, shard,
+                       max_steps)
+
+
+def decode_hits(
+    hb: np.ndarray,  # uint32 [h] bitmaps of the hit positions
+    hit_pos: np.ndarray,  # int64 [h]
+    data: bytes | np.ndarray,
+    input_size: int,
+    shard: ShardTables,
+    max_steps: int,
+) -> np.ndarray:
+    """Sparse-form decode (see fetch_hit_bits)."""
     if hit_pos.size == 0:
         return np.empty((0, 3), dtype=np.int64)
     arr = (
@@ -35,7 +95,6 @@ def decode_bitmap(
         if isinstance(data, (bytes, bytearray))
         else np.asarray(data, dtype=np.uint8)
     )
-    hb = bits[hit_pos]
     width_bit = shard.width_bit
     width_m1 = shard.width - 1
     ht_size = shard.ht_size

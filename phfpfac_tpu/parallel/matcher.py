@@ -235,6 +235,8 @@ class Matcher:
             kind, scanner = self._get_pallas_scanner()
         except Exception:  # noqa: BLE001 — no pallas path applies
             return self._match_flat_turbo(data, input_size)
+        from phfpfac_tpu.ops.bitmap import decode_hits, fetch_hit_bits
+
         flats = []
         try:
             with self.timer.phase("match"):
@@ -243,10 +245,10 @@ class Matcher:
                         _cnt, b = ds.scan(
                             padded, input_size, self.config, max_steps
                         )
+                        pos, hb = fetch_hit_bits(b, input_size)
                         flats.append(
-                            decode_bitmap(
-                                np.asarray(b), data, input_size, shard,
-                                max_steps,
+                            decode_hits(
+                                hb, pos, data, input_size, shard, max_steps
                             )
                         )
                 else:
