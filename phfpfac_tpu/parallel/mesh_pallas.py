@@ -166,7 +166,7 @@ class PallasMeshMatcher:
 
     def match(self, data: bytes, *, input_size: int | None = None):
         """Flat [(position, global pattern id)] in reference order."""
-        from phfpfac_tpu.ops.bitmap import decode_bitmap
+        from phfpfac_tpu.ops.bitmap import decode_hits, fetch_hit_bits
         from phfpfac_tpu.parallel.merge import merge_flat_matches
 
         if input_size is None:
@@ -185,17 +185,17 @@ class PallasMeshMatcher:
             jnp.asarray(np.int32(input_size)),
             n_rows=rows,
         )
-        bits = np.asarray(
-            _mesh_bitmap_scan(
-                data2d,
-                jnp.asarray(st.s0), jnp.asarray(st.packed),
-                mesh=self.mesh, n_steps=st.n_steps,
-                offs=st.offs, nbs=st.nbs,
-                interpret=self.interpret, tpc=self.tpc,
-            )
+        bits = _mesh_bitmap_scan(
+            data2d,
+            jnp.asarray(st.s0), jnp.asarray(st.packed),
+            mesh=self.mesh, n_steps=st.n_steps,
+            offs=st.offs, nbs=st.nbs,
+            interpret=self.interpret, tpc=self.tpc,
         )
-        flats = [
-            decode_bitmap(bits[s], data, input_size, shard, max_steps)
-            for s, shard in enumerate(self.compiled.shards)
-        ]
+        flats = []
+        for s, shard in enumerate(self.compiled.shards):
+            pos, hb = fetch_hit_bits(bits[s], input_size)
+            flats.append(
+                decode_hits(hb, pos, data, input_size, shard, max_steps)
+            )
         return merge_flat_matches(self.compiled, flats, input_size)
