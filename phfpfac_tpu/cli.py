@@ -169,6 +169,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.quiet:
         print(timer.report())
+        match_s = timer.phases.get("match")
+        if match_s:
+            # the reference's throughput line (older gphf binary;
+            # commented out in current main.cc:285)
+            print(
+                f"The throughput is {input_size * 8 / match_s / 1e9:.6f} Gbps"
+            )
     return 0
 
 
