@@ -88,7 +88,8 @@ class PairTables:
     max_pat_len: int
 
 
-def collect_alphabet(shard: ShardTables, class_tr, D: int):
+def collect_alphabet(shard: ShardTables, class_tr, D: int,
+                     max_sigma: int = MAX_SIGMA):
     """(code_of int32[256], sigma, cb): compact the dictionary bytes.
 
     Unused bytes (and the staging pad) map to the reserved miss code
@@ -100,8 +101,8 @@ def collect_alphabet(shard: ShardTables, class_tr, D: int):
             for c, _ in tr:
                 used[c] = True
     sigma = int(used.sum())
-    if sigma > MAX_SIGMA:
-        raise PairUnsupported(f"alphabet too large ({sigma} > {MAX_SIGMA})")
+    if sigma > max_sigma:
+        raise PairUnsupported(f"alphabet too large ({sigma} > {max_sigma})")
     cb = max(sigma.bit_length(), 1)
     code_of = np.full(256, sigma, dtype=np.int32)
     code_of[np.flatnonzero(used)] = np.arange(sigma, dtype=np.int32)

@@ -99,11 +99,12 @@ class PlanTables:
 
     code_of: np.ndarray  # int32 [256] byte -> code (miss = sigma)
     code_bits: int
-    p0_banks: np.ndarray  # dense depths-1+2 table
+    p0_mode: str  # "dense" (sigma^2 depths-1+2 table) | "s0" (depth 1)
+    p0_banks: np.ndarray  # dense P0 or the code-indexed s0 table
     packed_banks: np.ndarray  # concat of all main tables
     side_banks: np.ndarray  # concat of all pair side tables
-    steps: tuple  # tuple[StepSpec], probe order (depth 3 onward)
-    p0_miss: int  # dead sentinel stored by P0 entries
+    steps: tuple  # tuple[StepSpec], probe order after the prologue
+    p0_miss: int  # dead sentinel (plan-wide)
     max_pat_len: int
 
 
@@ -125,9 +126,12 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     class_fin, class_tr, s0_class = _minimize_levels(dense, levels, nf)
 
     # ---- alphabet coding --------------------------------------------------
-    code_of, _sigma, cb = collect_alphabet(shard, class_tr, D)
+    # beyond cb=6 the dense sigma^2 depths-1+2 table would cost 128
+    # banks per position; a 1-bank code-indexed s0 prologue replaces it
+    code_of, _sigma, cb = collect_alphabet(shard, class_tr, D, max_sigma=127)
     pair_span = 1 << (2 * cb)
     mono_span = 1 << cb
+    p0_mode = "dense" if pair_span <= 4096 else "s0"
 
     # ---- DP over step kinds -----------------------------------------------
     # entries(M_d) = transitions out of depth-d classes;
@@ -166,15 +170,19 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
             cost[d], choice[d] = m, "mono"
 
     plan_kinds: list[tuple] = []  # (kind, start_depth)
-    d = 2
+    d = 2 if p0_mode == "dense" else 1
     while d < D:
         k = choice[d] or "mono"
         plan_kinds.append((k, d))
         d += 2 if k == "pair" else 1
 
     # ONE dead sentinel for the whole plan: all-ones in the narrowest
-    # value field (pair's).  Every table must fit strictly below it.
-    miss = (1 << (30 - 2 * cb)) - 1
+    # value field among the kinds actually chosen.  Every table must
+    # fit strictly below it.
+    max_vshift = max(
+        [cb + 1] + [2 * cb + 1 for k, _ in plan_kinds if k == "pair"]
+    )
+    miss = (1 << (31 - max_vshift)) - 1
 
     # ---- build tables in reverse plan order (disp chaining) ---------------
     # For each step: rows = classes at its start depth.
@@ -297,12 +305,23 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
             )
         main_tables.append(tbl)
 
-    # ---- dense P0 (depths 1 + 2) -------------------------------------------
+    # ---- prologue: dense P0 (depths 1+2) or code-indexed s0 (depth 1) ------
     p0_miss = miss
-    p0 = build_dense_p0(
-        shard, class_fin, class_tr, s0_class, code_of, cb, D,
-        landing_fn=lambda cls: landing(0, cls), miss=miss,
-    )
+    if p0_mode == "dense":
+        p0 = build_dense_p0(
+            shard, class_fin, class_tr, s0_class, code_of, cb, D,
+            landing_fn=lambda cls: landing(0, cls), miss=miss,
+        )
+    else:
+        # s0[code] = (disp into step 0 << 1) | fin1, -1 = no depth-1 state
+        p0 = np.full(mono_span, -1, dtype=np.int32)
+        for c in range(256):
+            u = int(shard.s0[c])
+            if u < 0:
+                continue
+            cls = s0_class[u]
+            fin1 = 1 if class_fin[0][cls] else 0
+            p0[int(code_of[c])] = (landing(0, cls) << 1) | fin1
 
     # ---- bank + spec assembly ----------------------------------------------
     tm = [_to_banks_trimmed(t) for t in main_tables]
@@ -324,6 +343,7 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     return PlanTables(
         code_of=code_of,
         code_bits=cb,
+        p0_mode=p0_mode,
         p0_banks=_to_banks(p0),
         packed_banks=(
             np.concatenate([b for b, _ in tm])

@@ -29,7 +29,7 @@ from phfpfac_tpu.ops.pallas_scan import _LANE, _SUB, TILE, _lut
 def _make_plan_kernel(
     *,
     steps: tuple,  # tuple[StepSpec]
-    nb_p0: int, cb: int, p0_miss: int,
+    nb_p0: int, cb: int, p0_miss: int, p0_mode: str,
     emit_bitmap: bool, tiles_per_cell: int, cond_from: int,
 ):
     from jax.experimental import pallas as pl
@@ -60,22 +60,40 @@ def _make_plan_kernel(
             (cell * tpc + i) * TILE + sub * _LANE + lane for i in range(tpc)
         ]
 
-        # step 0: dense depths-1+2 probe (offset 0).  p0_miss is THE
+        # prologue (offset 0): dense depths-1+2 probe, or a 1-bank
+        # code-indexed s0 probe for wide alphabets.  p0_miss is THE
         # plan-wide dead sentinel (compile.plan builds every table
         # strictly below it).
         curs, disps, cnts, bitss = [], [], [], []
         for i in range(tpc):
             cur = a_s[i]
-            v = _lut(p0_ref, cur, nb_p0)
-            alive = v >= 0
-            fin1 = alive & ((v & 1) == 1)
-            fin2 = alive & ((v & 2) == 2)
-            cnts.append(fin1.astype(jnp.int32) + fin2.astype(jnp.int32))
-            if emit_bitmap:
-                bitss.append(fin1.astype(jnp.int32) | jnp.where(fin2, 2, 0))
-            disps.append(
-                jnp.where(alive, jax.lax.shift_right_logical(v, 2), p0_miss)
-            )
+            if p0_mode == "dense":
+                v = _lut(p0_ref, cur, nb_p0)
+                alive = v >= 0
+                fin1 = alive & ((v & 1) == 1)
+                fin2 = alive & ((v & 2) == 2)
+                cnts.append(fin1.astype(jnp.int32) + fin2.astype(jnp.int32))
+                if emit_bitmap:
+                    bitss.append(
+                        fin1.astype(jnp.int32) | jnp.where(fin2, 2, 0)
+                    )
+                disps.append(
+                    jnp.where(
+                        alive, jax.lax.shift_right_logical(v, 2), p0_miss
+                    )
+                )
+            else:
+                v = _lut(p0_ref, cur & cbm, nb_p0)
+                alive = v >= 0
+                fin1 = alive & ((v & 1) == 1)
+                cnts.append(fin1.astype(jnp.int32))
+                if emit_bitmap:
+                    bitss.append(fin1.astype(jnp.int32))
+                disps.append(
+                    jnp.where(
+                        alive, jax.lax.shift_right_logical(v, 1), p0_miss
+                    )
+                )
             curs.append(cur)
 
         # count mode excludes the bitmap tiles from the carry —
@@ -187,7 +205,8 @@ def _make_plan_kernel(
 
 
 _STATICS = (
-    "steps", "nb_p0", "cb", "p0_miss", "interpret", "tpc", "cond_from",
+    "steps", "nb_p0", "cb", "p0_miss", "p0_mode", "interpret", "tpc",
+    "cond_from",
 )
 
 
@@ -208,13 +227,13 @@ def _specs(tpc):
 @functools.partial(jax.jit, static_argnames=_STATICS)
 def _plan_scan_bitmap(
     data2d, s0_dummy, p0_banks, packed_banks, side_banks,
-    *, steps, nb_p0, cb, p0_miss, interpret, tpc, cond_from,
+    *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
 ):
     from jax.experimental import pallas as pl
 
     n_cells, tpc = _common(data2d, tpc)
     kernel = _make_plan_kernel(
-        steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss,
+        steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=True, tiles_per_cell=tpc, cond_from=cond_from,
     )
     rows_pc = tpc * _SUB
@@ -238,13 +257,13 @@ def _plan_scan_bitmap(
 @functools.partial(jax.jit, static_argnames=_STATICS)
 def _plan_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
-    *, steps, nb_p0, cb, p0_miss, interpret, tpc, cond_from,
+    *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
 ):
     from jax.experimental import pallas as pl
 
     n_cells, tpc = _common(data2d, tpc)
     kernel = _make_plan_kernel(
-        steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss,
+        steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=False, tiles_per_cell=tpc, cond_from=cond_from,
     )
     partial = pl.pallas_call(
@@ -274,7 +293,8 @@ class PlanShardScanner:
         pt = self.pt
         return dict(
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
-            p0_miss=pt.p0_miss, interpret=self.interpret, tpc=self.tpc,
+            p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
+            interpret=self.interpret, tpc=self.tpc,
             cond_from=self.cond_from,
         )
 
@@ -323,7 +343,8 @@ class PlanCountScan:
             staged, jnp.asarray(shift, jnp.int32),
             self._p0, self._m, self._s,
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
-            p0_miss=pt.p0_miss, interpret=self.interpret, tpc=self.tpc,
+            p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
+            interpret=self.interpret, tpc=self.tpc,
             cond_from=self.cond_from,
         )
 
