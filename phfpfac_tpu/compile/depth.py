@@ -286,8 +286,8 @@ def _minimize_levels(dense: np.ndarray, levels: list[np.ndarray], nf: int):
         rows = dense[states]  # (n, 256)
         child_cls = np.where(
             rows >= 0, class_arr[np.maximum(rows, 0)], -1
-        )
-        fin = (states < nf).astype(np.int64)
+        ).astype(np.int32)
+        fin = (states < nf).astype(np.int32)
         sig = np.concatenate([fin[:, None], child_cls], axis=1)
         _uniq, first, inv = np.unique(
             sig, axis=0, return_index=True, return_inverse=True
