@@ -28,7 +28,12 @@ CORPUS = sys.argv[2] if len(sys.argv) > 2 else (
 
 
 def main() -> None:
-    cfg = PfacConfig(width=4096, num_shards=1, truncation="none")
+    import jax
+
+    cfg = PfacConfig(
+        width=4096, num_shards=1, truncation="none",
+        interpret=jax.default_backend() != "tpu",  # pallas off-TPU
+    )
 
     # ---- compile once, persist, reload (the reference rebuilds on
     # every invocation; table build is the slow host phase) ----------

@@ -16,7 +16,7 @@ import numpy as np
 
 from phfpfac_tpu.compile.tables import ShardTables
 
-_FETCH_BLOCK = 8192  # positions per sparsity block
+_FETCH_BLOCK = 1024  # positions per sparsity block (n_pos granularity)
 
 
 def fetch_hit_bits(bits_dev, input_size: int):
@@ -33,9 +33,9 @@ def fetch_hit_bits(bits_dev, input_size: int):
     import jax.numpy as jnp
 
     n = bits_dev.shape[0]
+    assert n % _FETCH_BLOCK == 0  # scan outputs are TILE-granular
     nb = n // _FETCH_BLOCK
-    blk = bits_dev[: nb * _FETCH_BLOCK].reshape(nb, _FETCH_BLOCK)
-    tail = np.asarray(bits_dev[nb * _FETCH_BLOCK :]).view(np.uint32)
+    blk = bits_dev.reshape(nb, _FETCH_BLOCK)
     nz = np.asarray(jnp.any(blk != 0, axis=1))
     idx = np.flatnonzero(nz)
     if idx.size > max(nb // 4, 1):
@@ -43,25 +43,13 @@ def fetch_hit_bits(bits_dev, input_size: int):
         flat = np.asarray(bits_dev).view(np.uint32)
         pos = np.nonzero(flat[:input_size])[0].astype(np.int64)
         return pos, flat[pos]
-    parts_pos, parts_bits = [], []
-    if idx.size:
-        sel = np.asarray(
-            jnp.take(blk, jnp.asarray(idx), axis=0)
-        ).view(np.uint32)
-        p, j = np.nonzero(sel)
-        gpos = idx[p] * _FETCH_BLOCK + j
-        parts_pos.append(gpos.astype(np.int64))
-        parts_bits.append(sel[p, j])
-    tp = np.nonzero(tail)[0]
-    if tp.size:
-        parts_pos.append((nb * _FETCH_BLOCK + tp).astype(np.int64))
-        parts_bits.append(tail[tp])
-    if not parts_pos:
+    if idx.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint32)
-    pos = np.concatenate(parts_pos)
-    bitvals = np.concatenate(parts_bits)
+    sel = np.asarray(jnp.take(blk, jnp.asarray(idx), axis=0)).view(np.uint32)
+    p, j = np.nonzero(sel)
+    pos = (idx[p] * _FETCH_BLOCK + j).astype(np.int64)
     keep = pos < input_size
-    return pos[keep], bitvals[keep]
+    return pos[keep], sel[p, j][keep]
 
 
 def decode_bitmap(

@@ -76,24 +76,29 @@ def best_count_scanner(shard: ShardTables, max_steps: int):
     depth-stratified kernel (any leveled automaton, max_pat_len <= 32)
     > banked-LUT pallas kernel > XLA fori-loop scan.
     """
-    try:
-        from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+    def _attempt(make):
+        try:
+            return make()
+        except ValueError:
+            return None  # Pair/DepthUnsupported — expected fallback
+        except Exception as e:  # noqa: BLE001
+            import warnings
 
-        return plan_count_scanner(shard, max_steps)
-    except Exception:  # noqa: BLE001 — PairUnsupported or no pallas
-        pass
-    try:
-        from phfpfac_tpu.ops.pallas_pair import pair_count_scanner
+            warnings.warn(
+                f"scanner construction failed unexpectedly "
+                f"({type(e).__name__}: {e}); falling back"
+            )
+            return None
 
-        return pair_count_scanner(shard, max_steps)
-    except Exception:  # noqa: BLE001 — PairUnsupported or no pallas
-        pass
-    try:
-        from phfpfac_tpu.ops.pallas_depth import depth_count_scanner
+    from phfpfac_tpu.ops.pallas_depth import depth_count_scanner
+    from phfpfac_tpu.ops.pallas_pair import pair_count_scanner
+    from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
 
-        return depth_count_scanner(shard, max_steps)
-    except Exception:  # noqa: BLE001 — DepthUnsupported or no pallas
-        pass
+    for maker in (plan_count_scanner, pair_count_scanner,
+                  depth_count_scanner):
+        scan = _attempt(lambda m=maker: m(shard, max_steps))
+        if scan is not None:
+            return scan
     try:
         from phfpfac_tpu.ops.pallas_scan import pallas_count_scanner
 

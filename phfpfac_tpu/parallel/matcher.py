@@ -173,9 +173,10 @@ class Matcher:
         return rows
 
     def _get_pallas_scanner(self):
-        """Fastest applicable pallas scanners: stride-2 pair kernel
-        (compact alphabets, exact mode) > depth-stratified kernel
-        (tree tries, max_pat_len <= 32) > fused banked-LUT multi-shard
+        """Fastest applicable pallas scanners: cost-planned hybrid-
+        stride kernel (alphabet <= 127, exact mode) > stride-2 pair
+        kernel (alphabet <= 63) > depth-stratified kernel (any leveled
+        automaton, max_pat_len <= 32) > fused banked-LUT multi-shard
         kernel (anything)."""
         if self._pallas_scanner is None:
             if self.config.truncation != "segment":
@@ -199,7 +200,15 @@ class Matcher:
                             ],
                         )
                         return self._pallas_scanner
-                    except Exception:  # noqa: BLE001 — PairUnsupported
+                    except ValueError:
+                        continue  # PairUnsupported etc — expected
+                    except Exception as e:  # noqa: BLE001
+                        import warnings
+
+                        warnings.warn(
+                            f"{cls_name} failed unexpectedly "
+                            f"({type(e).__name__}: {e}); falling back"
+                        )
                         continue
             try:
                 from phfpfac_tpu.ops.pallas_depth import DepthShardScanner
@@ -227,7 +236,11 @@ class Matcher:
 
         Emits per-position match bitmaps on device; shard-local states
         are recovered from the matched substrings (ops.bitmap)."""
-        from phfpfac_tpu.ops.bitmap import decode_bitmap
+        from phfpfac_tpu.ops.bitmap import (
+            decode_bitmap,
+            decode_hits,
+            fetch_hit_bits,
+        )
 
         max_steps = padded_steps(self.compiled.max_pat_len)
         padded = pad_input(data, _POS_PAD, max_steps)
@@ -235,8 +248,6 @@ class Matcher:
             kind, scanner = self._get_pallas_scanner()
         except Exception:  # noqa: BLE001 — no pallas path applies
             return self._match_flat_turbo(data, input_size)
-        from phfpfac_tpu.ops.bitmap import decode_hits, fetch_hit_bits
-
         flats = []
         try:
             with self.timer.phase("match"):

@@ -55,3 +55,18 @@ def test_random_alpha():
     ]
     data = bytes(alpha[rng.integers(0, len(alpha), 16384)])
     _check(words, data)
+
+
+def test_wide_alphabet_s0_prologue():
+    # sigma in (63, 127]: the dense P0 gives way to the 1-bank
+    # code-indexed s0 prologue; parity must hold end to end
+    rng = np.random.default_rng(17)
+    alpha = np.arange(70, dtype=np.uint8) + 40
+    words = [
+        bytes(alpha[rng.integers(0, len(alpha), int(rng.integers(1, 10)))])
+        for _ in range(150)
+    ]
+    data = bytes(alpha[rng.integers(0, len(alpha), 8192)])
+    sh = _check(words, data)
+    pt = build_plan_tables(sh)
+    assert pt.p0_mode == "s0" and pt.code_bits == 7
