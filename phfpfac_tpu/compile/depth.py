@@ -155,6 +155,11 @@ def _layout_distinct(
     # raw offsets may be negative (down to -(colspan-1))
     offsets = np.full(n, _EMPTY, dtype=np.int64)
     window = 2048
+    # slots below first_free are all occupied, so offsets with
+    # offset + cols[0] < first_free are provably blocked — an EXACT
+    # skip that keeps the sparse tail of 1-col rows from rescanning
+    # the table front (same trick as the native FFDM)
+    first_free = 0
     for i in order:
         cols = cols_list[i]
         side = (
@@ -168,7 +173,12 @@ def _layout_distinct(
             and (force_offset is None or not force_offset[i])
         ):
             continue
-        start = -int(cols[0]) if len(cols) else 0
+        if len(cols):
+            while occ[first_free + colspan]:
+                first_free += 1
+            start = max(-int(cols[0]), first_free - int(cols[0]))
+        else:
+            start = 0
         offset = None
         while start < cap:
             length = min(window, cap - start)
