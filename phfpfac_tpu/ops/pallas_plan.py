@@ -281,7 +281,7 @@ class PlanShardScanner:
     """Bitmap-mode hybrid-stride scanner for one shard (exact mode)."""
 
     def __init__(self, shard: ShardTables, *, interpret: bool = False,
-                 tpc: int = 16, cond_from: int = 4):
+                 tpc: int = 32, cond_from: int = 4):
         self.pt: PlanTables = build_plan_tables(shard)
         self.shard = shard
         self.interpret = interpret
@@ -319,7 +319,7 @@ class PlanCountScan:
     """Count-mode hybrid-stride scan (bench protocol: prepare + scan)."""
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
-                 interpret: bool = False, tpc: int = 16, cond_from: int = 4):
+                 interpret: bool = False, tpc: int = 32, cond_from: int = 4):
         self.pt = build_plan_tables(shard)
         self.max_steps = max_steps
         self.interpret = interpret
@@ -354,7 +354,7 @@ class PlanCountScan:
 
 
 def plan_count_scanner(shard: ShardTables, max_steps: int, *,
-                       interpret: bool = False, tpc: int = 16,
+                       interpret: bool = False, tpc: int = 32,
                        cond_from: int = 4) -> PlanCountScan:
     return PlanCountScan(
         shard, max_steps, interpret=interpret, tpc=tpc, cond_from=cond_from
