@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -178,6 +179,206 @@ int64_t pfac_ffdm(const int32_t* table, int64_t state_num, int64_t width,
   stats[2] = max_offset;
   stats[3] = ht_size;
   return ht_size;
+}
+
+// Level-wise suffix minimization of a leveled automaton
+// (compile/depth.py::_minimize_levels).  Deepest level first, each
+// level-state's signature is (finality, 256 child CLASS ids); equal
+// signatures merge.  Class ids are assigned in order of first
+// occurrence within the level (a DIFFERENT numbering than the NumPy
+// path's lexicographic np.unique order — semantically equivalent
+// partitions; tests check partition equality, not id equality).
+//
+//   dense:       int32 [state_num * 256], -1 = dead.
+//   levels_blob: int64 concatenated per-level state lists,
+//                level li = levels_blob[level_offs[li], level_offs[li+1]).
+//   nf:          states < nf are final.
+//   inv_blob:    out int32, aligned with levels_blob — class id of each
+//                level-state within its level.
+//   rep_blob:    out int32, aligned with levels_blob — for class k of
+//                level li, rep_blob[level_offs[li] + k] = index into the
+//                LEVEL's state list of the class representative (its
+//                first occurrence); entries past n_classes[li] unused.
+//   n_classes:   out int64 [D].
+//
+// Returns 0.
+int64_t pfac_minimize_levels(const int32_t* dense, int64_t state_num,
+                             const int64_t* levels_blob,
+                             const int64_t* level_offs, int64_t D,
+                             int64_t nf, int32_t* inv_blob,
+                             int32_t* rep_blob, int64_t* n_classes) {
+  // class_arr[s] = s's class at the level just below the one being
+  // processed (valid for children, which live one level down)
+  std::vector<int32_t> class_arr(state_num, -1);
+  std::vector<int32_t> pending_states;  // this level's states (update
+  std::vector<int32_t> pending_inv;     // class_arr AFTER signatures)
+  for (int64_t li = D - 1; li >= 0; --li) {
+    const int64_t lo = level_offs[li], hi = level_offs[li + 1];
+    const int64_t n = hi - lo;
+    std::unordered_map<uint64_t, std::vector<int32_t>> buckets;
+    buckets.reserve(static_cast<size_t>(n) * 2);
+    pending_states.clear();
+    pending_inv.clear();
+    int32_t next_cls = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t s = levels_blob[lo + i];
+      const int32_t* row = dense + s * kCharSet;
+      const int32_t fin = s < nf ? 1 : 0;
+      // FNV-1a over the 257-int32 signature
+      uint64_t h = 1469598103934665603ull;
+      auto mix = [&h](int32_t v) {
+        h ^= static_cast<uint32_t>(v);
+        h *= 1099511628211ull;
+      };
+      mix(fin);
+      for (int c = 0; c < kCharSet; ++c) {
+        const int32_t t = row[c];
+        mix(t >= 0 ? class_arr[t] : -1);
+      }
+      int32_t cls = -1;
+      auto it = buckets.find(h);
+      if (it != buckets.end()) {
+        for (int32_t cand : it->second) {
+          // full signature compare against the candidate class rep
+          const int64_t rs =
+              levels_blob[lo + rep_blob[lo + cand]];
+          if ((rs < nf ? 1 : 0) != fin) continue;
+          const int32_t* rrow = dense + rs * kCharSet;
+          bool eq = true;
+          for (int c = 0; c < kCharSet; ++c) {
+            const int32_t a = row[c], b = rrow[c];
+            const int32_t ca = a >= 0 ? class_arr[a] : -1;
+            const int32_t cb = b >= 0 ? class_arr[b] : -1;
+            if (ca != cb) { eq = false; break; }
+          }
+          if (eq) { cls = cand; break; }
+        }
+      }
+      if (cls < 0) {
+        cls = next_cls++;
+        rep_blob[lo + cls] = static_cast<int32_t>(i);
+        buckets[h].push_back(cls);
+      }
+      inv_blob[lo + i] = cls;
+      pending_states.push_back(static_cast<int32_t>(s));
+      pending_inv.push_back(cls);
+    }
+    n_classes[li] = next_cls;
+    for (size_t i = 0; i < pending_states.size(); ++i)
+      class_arr[pending_states[i]] = pending_inv[i];
+  }
+  return 0;
+}
+
+// Distinct-offset first-fit-descending layout
+// (compile/depth.py::_layout_distinct) — EXACT same placement: rows in
+// stable descending-count order; first offset >= start satisfying (a)
+// offset unused by any prior row, (b) all main cols free, (c) all side
+// cols free in the side occupancy; offsets rebased to min 0.
+//
+//   cols_blob/cols_offs:  per-row sorted main columns (int64).
+//   side_blob/side_offs:  per-row side columns (int64); pass the same
+//                         pointer with all-equal offs for "no sides".
+//   force:                uint8 [n] (may be null): rows with no cols
+//                         and no sides still get an offset when set.
+//   colspan, cap:         as in the NumPy path.
+//   out_offsets:          int64 [n]; rows with no placement get `empty`.
+//
+// Returns ht_len (>= 1), or -1 on overflow (caller doubles cap).
+int64_t pfac_layout_distinct(const int64_t* cols_blob,
+                             const int64_t* cols_offs,
+                             const int64_t* side_blob,
+                             const int64_t* side_offs, int64_t n,
+                             const uint8_t* force, int64_t colspan,
+                             int64_t cap, int64_t empty,
+                             int64_t* out_offsets) {
+  // stable descending main-column count
+  std::vector<int32_t> order(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = static_cast<int32_t>(i);
+  std::stable_sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return (cols_offs[a + 1] - cols_offs[a]) >
+           (cols_offs[b + 1] - cols_offs[b]);
+  });
+
+  // occupancy bitsets in biased slot space (slot = offset + col +
+  // colspan, always >= 0 since offset >= -(colspan-1))
+  const int64_t span = cap + 3 * colspan + 64;
+  std::vector<uint64_t> occ((span + 63) / 64 + 1, 0);
+  std::vector<uint64_t> side_occ((span + 63) / 64 + 1, 0);
+  std::vector<uint64_t> used_off((span + 63) / 64 + 1, 0);
+  auto test = [](const std::vector<uint64_t>& bs, int64_t s) {
+    return (bs[s >> 6] >> (s & 63)) & 1u;
+  };
+  auto set = [](std::vector<uint64_t>& bs, int64_t s) {
+    bs[s >> 6] |= (uint64_t{1} << (s & 63));
+  };
+  auto next_free = [](const std::vector<uint64_t>& bs, int64_t s) {
+    int64_t w = s >> 6;
+    uint64_t m = ~bs[w] & (~uint64_t{0} << (s & 63));
+    while (m == 0) m = ~bs[++w];
+    return (w << 6) + static_cast<int64_t>(__builtin_ctzll(m));
+  };
+
+  std::fill(out_offsets, out_offsets + n, empty);
+  int64_t first_free = 0;  // biased slot space, main occ only
+  bool any_live = false;
+  int64_t min_off = 0, max_end = 0;  // over live rows (raw offsets)
+  std::vector<std::pair<int64_t, int64_t>> placed;  // (row, raw offset)
+  placed.reserve(n);
+  for (int32_t i : order) {
+    const int64_t clo = cols_offs[i], chi = cols_offs[i + 1];
+    const int64_t slo = side_offs[i], shi = side_offs[i + 1];
+    const int64_t nc = chi - clo, ns = shi - slo;
+    if (nc == 0 && ns == 0 && (force == nullptr || !force[i])) continue;
+    int64_t start;  // raw candidate offset
+    if (nc > 0) {
+      while (test(occ, first_free + colspan)) ++first_free;
+      const int64_t c0 = cols_blob[clo];
+      start = std::max(-c0, first_free - c0);
+    } else {
+      start = 0;
+    }
+    int64_t offset = start;
+    while (offset < cap) {
+      // offset-uniqueness first (mirrors the NumPy "bad" init)
+      if (test(used_off, offset + colspan)) {
+        offset = next_free(used_off, offset + colspan) - colspan;
+        continue;
+      }
+      bool ok = true;
+      for (int64_t j = clo; j < chi; ++j) {
+        const int64_t s = offset + cols_blob[j] + colspan;
+        if (test(occ, s)) {
+          offset = next_free(occ, s) - cols_blob[j] - colspan;
+          ok = false;
+          break;
+        }
+      }
+      if (!ok) continue;
+      for (int64_t j = slo; j < shi; ++j) {
+        const int64_t s = offset + side_blob[j] + colspan;
+        if (test(side_occ, s)) {
+          offset = next_free(side_occ, s) - side_blob[j] - colspan;
+          ok = false;
+          break;
+        }
+      }
+      if (ok) break;
+    }
+    if (offset >= cap) return -1;
+    for (int64_t j = clo; j < chi; ++j) set(occ, offset + cols_blob[j] + colspan);
+    for (int64_t j = slo; j < shi; ++j)
+      set(side_occ, offset + side_blob[j] + colspan);
+    set(used_off, offset + colspan);
+    placed.emplace_back(i, offset);
+    const int64_t end = offset + (nc ? cols_blob[chi - 1] : 0);
+    if (!any_live || offset < min_off) min_off = offset;
+    if (!any_live || end > max_end) max_end = end;
+    any_live = true;
+  }
+  if (!any_live) return 1;
+  for (auto& [row, off] : placed) out_offsets[row] = off - min_off;
+  return max_end - min_off + 1;
 }
 
 }  // extern "C"

@@ -241,6 +241,52 @@ def _layout_with_growth(
                 raise DepthUnsupported("depth table exceeds disp bits")
 
 
+def _layout_csr(
+    cols_offs: np.ndarray, cols_blob: np.ndarray, *, colspan: int = 256,
+    force_offset: np.ndarray | None = None,
+    side_offs: np.ndarray | None = None,
+    side_blob: np.ndarray | None = None,
+) -> tuple:
+    """CSR-form distinct-offset layout with capacity growth.
+
+    Same placement as _layout_distinct (the C++ path is exact,
+    tests/test_native.py); returns (offsets int64 [n], ht_len).
+    """
+    from phfpfac_tpu.compile import native
+
+    n = len(cols_offs) - 1
+    total = int(len(cols_blob)) + n
+    if side_blob is not None:
+        total += int(len(side_blob))
+    cap = max(2048, 4 * total)
+    if native.available():
+        while True:
+            res = native.layout_distinct_native(
+                cols_offs, cols_blob, cap, colspan=colspan,
+                force_offset=force_offset, side_offs=side_offs,
+                side_blob=side_blob, empty=_EMPTY,
+            )
+            if res is not None:
+                return res
+            cap *= 2
+            if cap > (1 << DISP_BITS):
+                raise DepthUnsupported("depth table exceeds disp bits")
+    cols_list = [
+        cols_blob[cols_offs[i]:cols_offs[i + 1]].astype(np.int64)
+        for i in range(n)
+    ]
+    side_list = None
+    if side_blob is not None:
+        side_list = [
+            side_blob[side_offs[i]:side_offs[i + 1]].astype(np.int64)
+            for i in range(n)
+        ]
+    return _layout_with_growth(
+        cols_list, colspan=colspan, force_offset=force_offset,
+        side_cols_list=side_list,
+    )
+
+
 def _to_banks(flat: np.ndarray, fill: int = -1) -> np.ndarray:
     nb = max(1, -(-len(flat) // _LANE))
     out = np.full((nb, _LANE), fill, dtype=np.int32)
@@ -261,39 +307,88 @@ def _to_banks_trimmed(flat: np.ndarray, fill: int = -1) -> tuple:
     return banks[k0:k1], k0
 
 
-def _minimize_levels(dense: np.ndarray, levels: list[np.ndarray], nf: int):
-    """Level-wise suffix minimization (leveled DAWG).
+@dataclass
+class Levels:
+    """Array-form (CSR) level-minimized automaton.
 
-    States at the same depth with identical right behavior — same
-    finality and transitions leading (recursively) to equivalent
-    states — merge into one class.  The device kernel only ever
-    observes the per-step final flag along a walk, which equivalence
-    preserves exactly; pattern ids are recovered on the host from the
-    UNMERGED tables (ops.bitmap.decode_bitmap), so merging is
-    transparent to match extraction.  For natural-language
-    dictionaries this shrinks the mid-depth tables severalfold
-    (shared suffixes like "...tion"), cutting the banked-LUT probe
-    cost proportionally.
+    Per level index li (depth li+1):
+      fin[li]      — bool [n_classes] finality of each class
+      tr_offs[li]  — int64 [n_classes+1] CSR row offsets
+      tr_cols[li]  — int32 [nnz] byte columns, ascending within a row
+      tr_child[li] — int32 [nnz] child class index at level li+1
+    ``s0_class`` maps depth-1 state -> level-0 class.
+    """
 
-    Vectorized: per level (deepest first), each state's signature is
-    (finality, 256-wide row of child CLASS ids); np.unique(axis=0)
-    partitions the level.  ``class_arr[s]`` always holds s's class at
-    the level just below the one being processed, which stays correct
-    even when a DAG state recurs at several levels.
+    D: int
+    fin: list
+    tr_offs: list
+    tr_cols: list
+    tr_child: list
+    s0_class: dict
 
-    Returns (class_fin, class_tr, class_of_s0) where, per level index
-    li (depth li+1):
-      class_fin[li][k]   — finality of class k
-      class_tr[li][k]    — list of (char, next-level class) pairs
-      class_of_s0[state] — depth-1 state -> class index (level 0)
+    def counts(self, li: int) -> np.ndarray:
+        return self.tr_offs[li][1:] - self.tr_offs[li][:-1]
+
+    def n_classes(self, li: int) -> int:
+        return len(self.fin[li])
+
+
+def _levels_from_partition(
+    dense: np.ndarray,
+    levels: list[np.ndarray],
+    nf: int,
+    inv_by_level: list[np.ndarray],
+    rep_by_level: list[np.ndarray],
+) -> Levels:
+    """Assemble the CSR Levels form from a per-level class partition.
+
+    ``inv_by_level[li][i]`` is the class of levels[li][i];
+    ``rep_by_level[li][k]`` indexes the representative of class k into
+    levels[li].  Children of level-li states all live at level li+1
+    (BFS construction), so child classes resolve through a scatter map
+    built from the next level's partition.
     """
     D = len(levels)
-    class_fin: list[list[bool]] = [None] * D
-    class_tr: list[list[tuple]] = [None] * D
+    fin_l, offs_l, cols_l, child_l = [], [], [], []
+    nxt_map = None  # state -> class at level li+1
+    for li in range(D - 1, -1, -1):
+        states = levels[li]
+        reps = states[rep_by_level[li]]
+        rows = dense[reps]  # (n_cls, 256)
+        mask = rows >= 0
+        cnt = mask.sum(axis=1)
+        offs = np.zeros(len(reps) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        r, c = np.nonzero(mask)
+        if li == D - 1:
+            child = np.full(len(c), -1, dtype=np.int32)
+        else:
+            child = nxt_map[rows[r, c]].astype(np.int32)
+        fin_l.append(reps < nf)
+        offs_l.append(offs)
+        cols_l.append(c.astype(np.int32))
+        child_l.append(child)
+        nxt_map = np.full(dense.shape[0], -1, dtype=np.int32)
+        nxt_map[states] = inv_by_level[li]
+    fin_l.reverse(); offs_l.reverse(); cols_l.reverse(); child_l.reverse()
+    s0_class = {
+        int(s): int(k) for s, k in zip(levels[0], inv_by_level[0])
+    }
+    return Levels(
+        D=D, fin=fin_l, tr_offs=offs_l, tr_cols=cols_l, tr_child=child_l,
+        s0_class=s0_class,
+    )
+
+
+def _partition_numpy(dense, levels, nf):
+    """np.unique-based per-level partition (portable fallback)."""
+    D = len(levels)
+    inv_by_level = [None] * D
+    rep_by_level = [None] * D
     class_arr = np.full(dense.shape[0], -1, dtype=np.int64)
     for li in range(D - 1, -1, -1):
         states = levels[li]
-        rows = dense[states]  # (n, 256)
+        rows = dense[states]
         child_cls = np.where(
             rows >= 0, class_arr[np.maximum(rows, 0)], -1
         ).astype(np.int32)
@@ -303,17 +398,49 @@ def _minimize_levels(dense: np.ndarray, levels: list[np.ndarray], nf: int):
             sig, axis=0, return_index=True, return_inverse=True
         )
         class_arr[states] = inv
-        fins, trs = [], []
-        for rep in first:
-            cols = np.flatnonzero(rows[rep] >= 0)
-            trs.append(
-                tuple((int(c), int(child_cls[rep, c])) for c in cols)
-            )
-            fins.append(bool(fin[rep]))
-        class_fin[li] = fins
-        class_tr[li] = trs
-    s0_class = {int(s): int(class_arr[int(s)]) for s in levels[0]}
-    return class_fin, class_tr, s0_class
+        inv_by_level[li] = inv.astype(np.int64)
+        rep_by_level[li] = first.astype(np.int64)
+    return inv_by_level, rep_by_level
+
+
+def _minimize_levels(
+    dense: np.ndarray, levels: list[np.ndarray], nf: int
+) -> Levels:
+    """Level-wise suffix minimization (leveled DAWG).
+
+    States at the same depth with identical right behavior — same
+    finality and transitions leading (recursively) to equivalent
+    states — merge into one class.  The device kernel only ever
+    observes the per-step final flag along a walk, which equivalence
+    preserves exactly; pattern ids are recovered on the host from the
+    matched substrings (ops.bitmap), so merging is transparent to
+    match extraction.  For natural-language dictionaries this shrinks
+    the mid-depth tables severalfold (shared suffixes like "...tion"),
+    cutting the banked-LUT probe cost proportionally.
+
+    The hash-partition runs in C++ when available (compile.native);
+    the NumPy np.unique(axis=0) path is the portable fallback.  Class
+    NUMBERING differs between the two (first-occurrence vs signature-
+    lexicographic order) — semantically equivalent partitions; tests
+    assert partition equality (tests/test_native.py).
+    """
+    from phfpfac_tpu.compile import native
+
+    if native.available():
+        inv_by_level, rep_by_level = native.minimize_levels_native(
+            dense, levels, nf
+        )
+    else:
+        inv_by_level, rep_by_level = _partition_numpy(dense, levels, nf)
+    return _levels_from_partition(
+        dense, levels, nf, inv_by_level, rep_by_level
+    )
+
+
+def _identity_levels(dense, levels, nf) -> Levels:
+    """One class per level-state (minimize=False)."""
+    inv = [np.arange(len(lv), dtype=np.int64) for lv in levels]
+    return _levels_from_partition(dense, levels, nf, inv, inv)
 
 
 def build_depth_tables(
@@ -337,64 +464,45 @@ def build_depth_tables(
     if D == 0:
         raise DepthUnsupported("empty automaton")
 
-    if minimize:
-        class_fin, class_tr, s0_class = _minimize_levels(dense, levels, nf)
-    else:  # one class per state (identity partition)
-        class_fin, class_tr, s0_class = [], [], {}
-        idx_of = [
-            {int(s): i for i, s in enumerate(lv)} for lv in levels
-        ]
-        for li in range(D):
-            fins, trs = [], []
-            for s in levels[li]:
-                s = int(s)
-                row = dense[s]
-                cols = np.flatnonzero(row >= 0)
-                trs.append(
-                    tuple(
-                        (int(c), idx_of[li + 1][int(row[c])]) for c in cols
-                    )
-                )
-                fins.append(s < nf)
-            class_fin.append(fins)
-            class_tr.append(trs)
-        s0_class = idx_of[0]
+    lv = (
+        _minimize_levels(dense, levels, nf)
+        if minimize
+        else _identity_levels(dense, levels, nf)
+    )
 
     # Per-depth layouts for T_d (transitions out of depth-d classes),
-    # d = 1..D-1.  class_tr[d-1] holds the depth-d classes.
+    # d = 1..D-1.  Level index d-1 holds the depth-d classes.
     offsets_by_level: list[np.ndarray] = []
     ht_lens: list[int] = []
     for d in range(1, D):
-        cols_list = [
-            np.array([c for c, _ in tr], dtype=np.int64)
-            for tr in class_tr[d - 1]
-        ]
-        offsets, ht_len = _layout_with_growth(cols_list)
+        offsets, ht_len = _layout_csr(lv.tr_offs[d - 1], lv.tr_cols[d - 1])
         if offsets.max(initial=0) >= DISP_MISS:
             raise DepthUnsupported("displacement exceeds disp bits")
         offsets_by_level.append(offsets)
         ht_lens.append(ht_len)
 
-    def disp_into(cls: int, d: int) -> int:
-        """Displacement a walker landing on a depth-d class carries."""
+    def disp_map(d: int, cls: np.ndarray) -> np.ndarray:
+        """Displacements carried by walkers landing on depth-d classes."""
         if d >= D:
-            return DISP_MISS
+            return np.full(len(cls), DISP_MISS, dtype=np.int64)
         off = offsets_by_level[d - 1][cls]
-        return int(off) if off != _EMPTY else DISP_MISS
+        return np.where(off != _EMPTY, off, DISP_MISS)
 
-    # Fill the tables.
+    # Fill the tables (vectorized over the CSR transition arrays).
     tables: list[np.ndarray] = []
     for d in range(1, D):
         offsets = offsets_by_level[d - 1]
         tbl = np.full(ht_lens[d - 1], -1, dtype=np.int32)
-        for i, tr in enumerate(class_tr[d - 1]):
-            off = offsets[i]
-            if off == _EMPTY:
-                continue
-            for c, ncls in tr:
-                dispv = disp_into(ncls, d + 1)
-                fin = 1 if class_fin[d][ncls] else 0
-                tbl[off + c] = (dispv << 9) | (fin << 8) | c
+        offs = lv.tr_offs[d - 1]
+        cols = lv.tr_cols[d - 1].astype(np.int64)
+        child = lv.tr_child[d - 1].astype(np.int64)
+        row = np.repeat(np.arange(len(offs) - 1), lv.counts(d - 1))
+        roff = offsets[row]
+        keep = roff != _EMPTY
+        dispv = disp_map(d + 1, child)
+        fin = lv.fin[d][child].astype(np.int64)
+        entry = ((dispv << 9) | (fin << 8) | cols).astype(np.int32)
+        tbl[roff[keep] + cols[keep]] = entry[keep]
         tables.append(tbl)
 
     # s0: (disp into T_1 << 1) | fin, -1 when no depth-1 state.
@@ -403,9 +511,9 @@ def build_depth_tables(
         ns = int(shard.s0[c])
         if ns < 0:
             continue
-        cls = s0_class[ns]
-        fin = 1 if class_fin[0][cls] else 0
-        s0_flat[c] = (disp_into(cls, 1) << 1) | fin
+        cls = lv.s0_class[ns]
+        fin = 1 if lv.fin[0][cls] else 0
+        s0_flat[c] = (int(disp_map(1, np.array([cls]))[0]) << 1) | fin
 
     if trim:
         trimmed = [_to_banks_trimmed(t) for t in tables]

@@ -65,6 +65,19 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ]
+            lib.pfac_minimize_levels.restype = ctypes.c_int64
+            lib.pfac_minimize_levels.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.pfac_layout_distinct.restype = ctypes.c_int64
+            lib.pfac_layout_distinct.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:  # noqa: BLE001 — fall back to NumPy
             _failed = True
@@ -101,6 +114,80 @@ def build_trie_native(patterns: list[bytes]):
     if state_num < 0:
         raise OverflowError("trie capacity overflow")
     return table[:state_num], int(state_num), int(maxlen[0])
+
+
+def minimize_levels_native(
+    dense: np.ndarray, levels: list[np.ndarray], nf: int
+):
+    """Native level-wise partition; returns (inv_by_level, rep_by_level).
+
+    Class ids are in first-occurrence order (the NumPy path's are in
+    signature-lexicographic order) — equivalent partitions.
+    """
+    lib = _load()
+    assert lib is not None
+    dense = np.ascontiguousarray(dense, dtype=np.int32)
+    D = len(levels)
+    blob = np.concatenate(
+        [lv.astype(np.int64) for lv in levels]
+    ) if D else np.empty(0, np.int64)
+    blob = np.ascontiguousarray(blob)
+    offs = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum([len(lv) for lv in levels], out=offs[1:])
+    inv = np.empty(len(blob), dtype=np.int32)
+    rep = np.empty(len(blob), dtype=np.int32)
+    ncls = np.zeros(max(D, 1), dtype=np.int64)
+    lib.pfac_minimize_levels(
+        dense.ctypes.data, dense.shape[0], blob.ctypes.data,
+        offs.ctypes.data, D, nf, inv.ctypes.data, rep.ctypes.data,
+        ncls.ctypes.data,
+    )
+    inv_by_level = [
+        inv[offs[li]:offs[li + 1]].astype(np.int64) for li in range(D)
+    ]
+    rep_by_level = [
+        rep[offs[li]:offs[li] + ncls[li]].astype(np.int64)
+        for li in range(D)
+    ]
+    return inv_by_level, rep_by_level
+
+
+def layout_distinct_native(
+    cols_offs: np.ndarray, cols_blob: np.ndarray, cap: int, *,
+    colspan: int, force_offset: np.ndarray | None,
+    side_offs: np.ndarray | None, side_blob: np.ndarray | None,
+    empty: int,
+):
+    """Native distinct-offset first-fit layout (CSR form).
+
+    Returns (offsets int64 [n], ht_len) or None on capacity overflow
+    (caller doubles cap and retries).
+    """
+    lib = _load()
+    assert lib is not None
+    n = len(cols_offs) - 1
+    cols_offs = np.ascontiguousarray(cols_offs, dtype=np.int64)
+    cols_blob = np.ascontiguousarray(cols_blob, dtype=np.int64)
+    if side_blob is None:
+        side_offs = np.zeros(n + 1, dtype=np.int64)
+        side_blob = np.empty(0, dtype=np.int64)
+    else:
+        side_offs = np.ascontiguousarray(side_offs, dtype=np.int64)
+        side_blob = np.ascontiguousarray(side_blob, dtype=np.int64)
+    force_p = None
+    if force_offset is not None:
+        force_arr = np.ascontiguousarray(force_offset, dtype=np.uint8)
+        force_p = force_arr.ctypes.data
+    out = np.empty(n, dtype=np.int64)
+    ht_len = lib.pfac_layout_distinct(
+        cols_blob.ctypes.data, cols_offs.ctypes.data,
+        side_blob.ctypes.data if len(side_blob) else side_offs.ctypes.data,
+        side_offs.ctypes.data, n, force_p, colspan, cap, empty,
+        out.ctypes.data,
+    )
+    if ht_len < 0:
+        return None
+    return out, int(ht_len)
 
 
 def ffdm_native(table: np.ndarray, width: int, hashtable_max: int = HASHTABLE_MAX):

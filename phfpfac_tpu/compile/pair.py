@@ -49,9 +49,10 @@ import numpy as np
 from phfpfac_tpu.compile.depth import (
     _EMPTY,
     DepthUnsupported,
+    Levels,
     MAX_DEPTH_STEPS,
     _bfs_levels,
-    _layout_with_growth,
+    _layout_csr,
     _minimize_levels,
     _reconstruct_dense,
     _to_banks,
@@ -88,18 +89,16 @@ class PairTables:
     max_pat_len: int
 
 
-def collect_alphabet(shard: ShardTables, class_tr, D: int,
+def collect_alphabet(shard: ShardTables, lv: Levels,
                      max_sigma: int = MAX_SIGMA):
     """(code_of int32[256], sigma, cb): compact the dictionary bytes.
 
     Unused bytes (and the staging pad) map to the reserved miss code
     ``sigma``, which no stored entry contains."""
     used = np.zeros(256, dtype=bool)
-    used[[c for c in range(256) if shard.s0[c] >= 0]] = True
-    for li in range(D):
-        for tr in class_tr[li]:
-            for c, _ in tr:
-                used[c] = True
+    used[np.flatnonzero(np.asarray(shard.s0) >= 0)] = True
+    for li in range(lv.D):
+        used[lv.tr_cols[li]] = True
     sigma = int(used.sum())
     if sigma > max_sigma:
         raise PairUnsupported(f"alphabet too large ({sigma} > {max_sigma})")
@@ -110,8 +109,7 @@ def collect_alphabet(shard: ShardTables, class_tr, D: int,
 
 
 def build_dense_p0(
-    shard: ShardTables, class_fin, class_tr, s0_class, code_of, cb: int,
-    D: int, landing_fn, miss: int,
+    shard: ShardTables, lv: Levels, code_of, cb: int, landing_fn, miss: int,
 ) -> np.ndarray:
     """Dense depths-1+2 table: entry (disp << 2) | (fin2 << 1) | fin1,
     indexed by pair symbol (code2 << cb) | code1; -1 = no depth-1
@@ -119,20 +117,24 @@ def build_dense_p0(
     depth-2 landing; fin1-only rows backfill EVERY second code
     (including the miss code) because a depth-1 match exists whatever
     follows it."""
+    D = lv.D
     p0 = np.full(1 << (2 * cb), -1, dtype=np.int32)
     for c1 in range(256):
         u = int(shard.s0[c1])
         if u < 0:
             continue
         a = int(code_of[c1])
-        u_cls = s0_class[u]
-        fin1 = 1 if class_fin[0][u_cls] else 0
+        u_cls = lv.s0_class[u]
+        fin1 = 1 if lv.fin[0][u_cls] else 0
         seen_b = set()
         if D >= 2:
-            for c2, v_cls in class_tr[0][u_cls]:
+            lo, hi = lv.tr_offs[0][u_cls], lv.tr_offs[0][u_cls + 1]
+            for j in range(lo, hi):
+                c2 = int(lv.tr_cols[0][j])
+                v_cls = int(lv.tr_child[0][j])
                 bcode = int(code_of[c2])
                 seen_b.add(bcode)
-                fin2 = 1 if class_fin[1][v_cls] else 0
+                fin2 = 1 if lv.fin[1][v_cls] else 0
                 p0[(bcode << cb) | a] = (
                     (landing_fn(v_cls) << 2) | (fin2 << 1) | fin1
                 )
@@ -141,6 +143,93 @@ def build_dense_p0(
                 if bcode not in seen_b:
                     p0[(bcode << cb) | a] = (miss << 2) | fin1
     return p0
+
+
+def _pair_join(lv: Levels, li: int, code_of: np.ndarray, cb: int):
+    """CSR pair transitions + side entries for rows = level-li classes.
+
+    Fuses level li's transitions (rows -> mid classes, one byte) with
+    level li+1's (mid -> end, second byte).  Returns
+      (p_offs, pair int64[nnz], end int32[nnz],   # sorted per row
+       s_offs, side int64[snnz])                  # final odd children
+    Pair symbol = (code2 << cb) | code1 so a row's columns spread
+    across the whole span instead of clustering in one 2^cb block per
+    mid child, which packs far tighter under the distinct-offset
+    first-fit.
+    """
+    n_rows = lv.n_classes(li)
+    cnt1 = lv.counts(li)
+    cols1 = lv.tr_cols[li].astype(np.int64)
+    mid = lv.tr_child[li].astype(np.int64)
+    a = code_of[cols1].astype(np.int64)
+    row1 = np.repeat(np.arange(n_rows, dtype=np.int64), cnt1)
+
+    # side: first-step codes whose mid (depth 2k+1) class is final
+    fin_mid = lv.fin[li + 1][mid]
+    s_rows, s_codes = row1[fin_mid], a[fin_mid]
+    o = np.lexsort((s_codes, s_rows))
+    s_rows, s_codes = s_rows[o], s_codes[o]
+    s_offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s_rows, minlength=n_rows), out=s_offs[1:])
+
+    if li + 2 <= lv.D - 1:
+        offs2 = lv.tr_offs[li + 1]
+        cols2 = lv.tr_cols[li + 1].astype(np.int64)
+        end2 = lv.tr_child[li + 1]
+        cnt2 = (offs2[mid + 1] - offs2[mid]).astype(np.int64)
+        total = int(cnt2.sum())
+        rep_j = np.repeat(np.arange(len(mid), dtype=np.int64), cnt2)
+        run_starts = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(cnt2)[:-1]]
+        )
+        within = np.arange(total, dtype=np.int64) - run_starts[rep_j]
+        sel2 = offs2[mid][rep_j] + within
+        pair = (code_of[cols2[sel2]].astype(np.int64) << cb) | a[rep_j]
+        end = end2[sel2]
+        prow = row1[rep_j]
+        o = np.lexsort((pair, prow))
+        prow, pair, end = prow[o], pair[o], end[o]
+        p_offs = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(np.bincount(prow, minlength=n_rows), out=p_offs[1:])
+    else:
+        p_offs = np.zeros(n_rows + 1, dtype=np.int64)
+        pair = np.empty(0, dtype=np.int64)
+        end = np.empty(0, dtype=np.int32)
+    return p_offs, pair, end, s_offs, s_codes
+
+
+def _fill_pair_table(
+    ht_len: int, offsets, p_offs, pair, end, s_offs, side, *,
+    disp_next, fin_end, vshift: int, fin_shift: int, mono_span: int,
+):
+    """(ptbl int32, side int32 packed-4B) for one pair step.
+
+    ``disp_next[j]``/``fin_end[j]`` are per-transition landing
+    displacement and finality; rows with _EMPTY offsets hold no
+    transitions by construction.
+    """
+    n_rows = len(p_offs) - 1
+    ptbl = np.full(ht_len, -1, dtype=np.int32)
+    row = np.repeat(
+        np.arange(n_rows, dtype=np.int64), p_offs[1:] - p_offs[:-1]
+    )
+    roff = offsets[row]
+    keep = roff != _EMPTY
+    entry = (
+        (disp_next << vshift) | (fin_end.astype(np.int64) << fin_shift) | pair
+    ).astype(np.int32)
+    ptbl[roff[keep] + pair[keep]] = entry[keep]
+
+    sbytes = np.zeros(ht_len + mono_span, dtype=np.uint8)
+    srow = np.repeat(
+        np.arange(n_rows, dtype=np.int64), s_offs[1:] - s_offs[:-1]
+    )
+    sroff = offsets[srow]
+    skeep = sroff != _EMPTY
+    sbytes[sroff[skeep] + side[skeep]] = (side[skeep] + 1).astype(np.uint8)
+    pad = (-len(sbytes)) % 4
+    sb = np.concatenate([sbytes, np.zeros(pad, np.uint8)])
+    return ptbl, sb.view("<u4").astype(np.int64).astype(np.int32)
 
 
 def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTables:
@@ -158,11 +247,12 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
         raise PairUnsupported("empty automaton")
     if not minimize:
         raise PairUnsupported("pair tables require class minimization")
-    class_fin, class_tr, s0_class = _minimize_levels(dense, levels, nf)
+    lv = _minimize_levels(dense, levels, nf)
 
     # ---- alphabet coding -------------------------------------------------
-    code_of, sigma, cb = collect_alphabet(shard, class_tr, D)
+    code_of, sigma, cb = collect_alphabet(shard, lv)
     pair_span = 1 << (2 * cb)
+    mono_span = 1 << cb
 
     # ---- per-even-level pair transitions + side entries ------------------
     # pair step k >= 1 walks from depth 2k classes.  K = number of
@@ -171,66 +261,27 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
     val_shift = 2 * cb + 1
     # the miss sentinel must survive << val_shift inside an int32 entry
     pair_miss = (1 << (31 - val_shift)) - 1
-    # trans[k]: rows = classes at depth 2k (level index 2k-1);
-    #   cols_list[r] = pair symbols; vals[r] = (next_class, fin_end)
-    p_cols: list[list[np.ndarray]] = []
-    p_vals: list[list[list]] = []
-    s_rows: list[list[list[int]]] = []  # final-odd-child codes per row
-    for k in range(1, K + 1):
-        li = 2 * k - 1  # classes at depth 2k
-        trs = class_tr[li]
-        cols_list, vals_list, side_list = [], [], []
-        for tr in trs:
-            cols, vals, side = [], [], []
-            for c1, mid_cls in tr:
-                a = int(code_of[c1])
-                if class_fin[li + 1][mid_cls]:
-                    side.append(a)
-                if li + 2 < D:
-                    for c2, end_cls in class_tr[li + 1][mid_cls]:
-                        b = int(code_of[c2])
-                        # pair symbol = (second << CB) | first: a row's
-                        # columns spread across the whole span instead
-                        # of clustering in one 2^CB block per mid
-                        # child, which packs far tighter under the
-                        # distinct-offset first-fit
-                        cols.append((b << cb) | a)
-                        vals.append((end_cls, class_fin[li + 2][end_cls]))
-            order = np.argsort(cols) if cols else []
-            cols_list.append(
-                np.asarray(cols, dtype=np.int64)[order]
-                if len(cols)
-                else np.empty(0, dtype=np.int64)
-            )
-            vals_list.append([vals[i] for i in order] if len(cols) else [])
-            side_list.append(side)
-        p_cols.append(cols_list)
-        p_vals.append(vals_list)
-        s_rows.append(side_list)
+    joins = [_pair_join(lv, 2 * k - 1, code_of, cb) for k in range(1, K + 1)]
 
     # ---- layouts (deep -> shallow so next-step disps are known) ----------
     offsets_k: list[np.ndarray] = [None] * (K + 1)  # 1-based
     ht_lens: list[int] = [0] * (K + 1)
     for k in range(1, K + 1):
-        force = np.array(
-            [len(s) > 0 for s in s_rows[k - 1]], dtype=bool
-        )
-        side_cols = [
-            np.asarray(sorted(s), dtype=np.int64) for s in s_rows[k - 1]
-        ]
-        offsets, ht_len = _layout_with_growth(
-            p_cols[k - 1], colspan=pair_span, force_offset=force,
-            side_cols_list=side_cols,
+        p_offs, pair, _end, s_offs, side = joins[k - 1]
+        force = (s_offs[1:] - s_offs[:-1]) > 0
+        offsets, ht_len = _layout_csr(
+            p_offs, pair, colspan=pair_span,
+            force_offset=force, side_offs=s_offs, side_blob=side,
         )
         offsets_k[k] = offsets
         ht_lens[k] = ht_len
 
-    def disp_into(cls: int, k: int) -> int:
-        """Displacement carried by a walker landing on a depth-2k class."""
+    def disp_arr(cls: np.ndarray, k: int) -> np.ndarray:
+        """Displacements carried by walkers landing on depth-2k classes."""
         if k > K:
-            return pair_miss
+            return np.full(len(cls), pair_miss, dtype=np.int64)
         off = offsets_k[k][cls]
-        return int(off) if off != _EMPTY else pair_miss
+        return np.where(off != _EMPTY, off, pair_miss)
 
     max_disp = pair_miss - 1
 
@@ -240,33 +291,27 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
         offsets = offsets_k[k]
         if offsets.max(initial=0) > max_disp:
             raise PairUnsupported("displacement exceeds entry bits")
-        ptbl = np.full(ht_lens[k], -1, dtype=np.int32)
-        stbl_len = ht_lens[k] + (1 << cb)
-        sbytes = np.zeros(stbl_len, dtype=np.uint8)  # 0 = empty
-        for r, cols in enumerate(p_cols[k - 1]):
-            off = offsets[r]
-            if off == _EMPTY:
-                continue
-            for j, pair in enumerate(cols):
-                end_cls, fin_end = p_vals[k - 1][r][j]
-                dn = disp_into(end_cls, k + 1)
-                ptbl[off + int(pair)] = (
-                    (dn << val_shift)
-                    | (int(bool(fin_end)) << (2 * cb))
-                    | int(pair)
-                )
-            for a in s_rows[k - 1][r]:
-                sbytes[off + a] = a + 1
+        p_offs, pair, end, s_offs, side = joins[k - 1]
+        li = 2 * k - 1
+        fin_end = (
+            lv.fin[li + 2][end]
+            if li + 2 <= D - 1
+            else np.zeros(len(end), dtype=bool)
+        )
+        ptbl, stbl = _fill_pair_table(
+            ht_lens[k], offsets, p_offs, pair, end, s_offs, side,
+            disp_next=disp_arr(end.astype(np.int64), k + 1),
+            fin_end=fin_end, vshift=val_shift, fin_shift=2 * cb,
+            mono_span=mono_span,
+        )
         p_tables.append(ptbl)
-        # pack side bytes 4-per-int32 (little-endian)
-        pad = (-len(sbytes)) % 4
-        sb = np.concatenate([sbytes, np.zeros(pad, np.uint8)])
-        s_tables.append(sb.view("<u4").astype(np.int64).astype(np.int32))
+        s_tables.append(stbl)
 
     # ---- dense P_0 (depths 1 + 2) ----------------------------------------
     p0 = build_dense_p0(
-        shard, class_fin, class_tr, s0_class, code_of, cb, D,
-        landing_fn=lambda cls: disp_into(cls, 1), miss=pair_miss,
+        shard, lv, code_of, cb,
+        landing_fn=lambda cls: int(disp_arr(np.array([cls]), 1)[0]),
+        miss=pair_miss,
     )
 
     trimmed_p = [_to_banks_trimmed(t) for t in p_tables]

@@ -50,7 +50,7 @@ from phfpfac_tpu.compile.depth import (
     DepthUnsupported,
     MAX_DEPTH_STEPS,
     _bfs_levels,
-    _layout_with_growth,
+    _layout_csr,
     _minimize_levels,
     _reconstruct_dense,
     _to_banks,
@@ -58,6 +58,8 @@ from phfpfac_tpu.compile.depth import (
 )
 from phfpfac_tpu.compile.pair import (
     PairUnsupported,
+    _fill_pair_table,
+    _pair_join,
     build_dense_p0,
     collect_alphabet,
 )
@@ -123,12 +125,12 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     D = len(levels)
     if D == 0:
         raise PairUnsupported("empty automaton")
-    class_fin, class_tr, s0_class = _minimize_levels(dense, levels, nf)
+    lv = _minimize_levels(dense, levels, nf)
 
     # ---- alphabet coding --------------------------------------------------
     # beyond cb=6 the dense sigma^2 depths-1+2 table would cost 128
     # banks per position; a 1-bank code-indexed s0 prologue replaces it
-    code_of, _sigma, cb = collect_alphabet(shard, class_tr, D, max_sigma=127)
+    code_of, _sigma, cb = collect_alphabet(shard, lv, max_sigma=127)
     pair_span = 1 << (2 * cb)
     mono_span = 1 << cb
     p0_mode = "dense" if pair_span <= 4096 else "s0"
@@ -137,15 +139,15 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     # entries(M_d) = transitions out of depth-d classes;
     # entries(P_d) = two-step transitions (duplicated through odd mids)
     def mono_entries(d: int) -> int:  # d = start depth, covers d+1
-        return sum(len(tr) for tr in class_tr[d - 1])
+        return int(len(lv.tr_cols[d - 1]))
 
     def pair_entries(d: int) -> int:  # covers d+1, d+2
-        tot = 0
-        for tr in class_tr[d - 1]:
-            for _c1, mid in tr:
-                if d + 1 < D:
-                    tot += len(class_tr[d][mid])
-        return tot
+        li = d - 1
+        if li + 1 > D - 1:
+            return 0
+        mid = lv.tr_child[li].astype(np.int64)
+        offs2 = lv.tr_offs[li + 1]
+        return int((offs2[mid + 1] - offs2[mid]).sum())
 
     INF = float("inf")
     cost = [0.0] * (D + 2)
@@ -184,74 +186,49 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     )
     miss = (1 << (31 - max_vshift)) - 1
 
-    # ---- build tables in reverse plan order (disp chaining) ---------------
+    # ---- build layouts in reverse plan order (disp chaining) --------------
     # For each step: rows = classes at its start depth.
     built: list[dict] = [None] * len(plan_kinds)
     # disp_of[i][cls] = displacement into step i's table for a walker
     # landing on a class at that step's start depth
     disp_of: list[np.ndarray] = [None] * (len(plan_kinds) + 1)
 
-    def landing(i: int, cls: int) -> int:
-        """Value-field (disp) stored for a walker landing on class
-        ``cls`` at step i's start depth; the global miss sentinel for
-        dead landings (past the last step / no onward row)."""
+    def landing_arr(i: int, cls: np.ndarray) -> np.ndarray:
+        """Value-field (disp) stored for walkers landing on classes at
+        step i's start depth; the global miss sentinel for dead
+        landings (past the last step / no onward row)."""
         if i >= len(plan_kinds):
-            return miss
+            return np.full(len(cls), miss, dtype=np.int64)
         off = disp_of[i][cls]
-        return int(off) if off != _EMPTY else miss
+        return np.where(off != _EMPTY, off, miss)
 
     for i in range(len(plan_kinds) - 1, -1, -1):
         kind, d = plan_kinds[i]
         li = d - 1
-        trs = class_tr[li]
         if kind == "mono":
-            vshift = cb + 1
-            cols_list, vals_list = [], []
-            for tr in trs:
-                cols = [int(code_of[c]) for c, _ in tr]
-                order = np.argsort(cols)
-                cols_list.append(np.asarray(cols, dtype=np.int64)[order])
-                vals_list.append([tr[j][1] for j in order])
-            offsets, ht_len = _layout_with_growth(
-                cols_list, colspan=mono_span
+            # columns are byte CODES; code_of is order-preserving over
+            # used bytes, so per-row ascending order is kept
+            cols = code_of[lv.tr_cols[li]].astype(np.int64)
+            offsets, ht_len = _layout_csr(
+                lv.tr_offs[li], cols, colspan=mono_span
             )
             disp_of[i] = offsets
             built[i] = dict(
-                kind=kind, d=d, vshift=vshift, cols=cols_list,
-                vals=vals_list, side=None, offsets=offsets, ht_len=ht_len,
+                kind=kind, d=d, vshift=cb + 1, offsets=offsets,
+                ht_len=ht_len, cols=cols,
             )
         else:
-            vshift = 2 * cb + 1
-            cols_list, vals_list, side_list = [], [], []
-            for tr in trs:
-                cols, vals, side = [], [], []
-                for c1, mid in tr:
-                    a = int(code_of[c1])
-                    if class_fin[li + 1][mid]:
-                        side.append(a)
-                    if li + 2 < D:
-                        for c2, end in class_tr[li + 1][mid]:
-                            cols.append((int(code_of[c2]) << cb) | a)
-                            vals.append(end)
-                order = np.argsort(cols) if cols else []
-                cols_list.append(
-                    np.asarray(cols, dtype=np.int64)[order]
-                    if len(cols) else np.empty(0, dtype=np.int64)
-                )
-                vals_list.append([vals[j] for j in order])
-                side_list.append(
-                    np.asarray(sorted(set(side)), dtype=np.int64)
-                )
-            force = np.array([len(s) > 0 for s in side_list], dtype=bool)
-            offsets, ht_len = _layout_with_growth(
-                cols_list, colspan=pair_span, force_offset=force,
-                side_cols_list=side_list,
+            join = _pair_join(lv, li, code_of, cb)
+            p_offs, pair, _end, s_offs, side = join
+            force = (s_offs[1:] - s_offs[:-1]) > 0
+            offsets, ht_len = _layout_csr(
+                p_offs, pair, colspan=pair_span, force_offset=force,
+                side_offs=s_offs, side_blob=side,
             )
             disp_of[i] = offsets
             built[i] = dict(
-                kind=kind, d=d, vshift=vshift, cols=cols_list,
-                vals=vals_list, side=side_list, offsets=offsets,
-                ht_len=ht_len,
+                kind=kind, d=d, vshift=2 * cb + 1, offsets=offsets,
+                ht_len=ht_len, join=join,
             )
 
     # ---- fill -------------------------------------------------------------
@@ -267,50 +244,47 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     main_tables, side_tables = [], []
     for i, b in enumerate(built):
         kind, d, vshift = b["kind"], b["d"], b["vshift"]
-        tbl = np.full(b["ht_len"], -1, dtype=np.int32)
+        li = d - 1
         nxt = i + 1
         if kind == "mono":
-            for r, cols in enumerate(b["cols"]):
-                off = b["offsets"][r]
-                if off == _EMPTY:
-                    continue
-                for j, code in enumerate(cols):
-                    mid = b["vals"][r][j]
-                    # next step starts at depth d+1 (landing class mid)
-                    nv = landing(nxt, mid)
-                    fin = 1 if class_fin[d][mid] else 0
-                    tbl[off + int(code)] = (
-                        (nv << vshift) | (fin << cb) | int(code)
-                    )
+            tbl = np.full(b["ht_len"], -1, dtype=np.int32)
+            offs = lv.tr_offs[li]
+            cols = b["cols"]
+            child = lv.tr_child[li].astype(np.int64)
+            row = np.repeat(
+                np.arange(len(offs) - 1, dtype=np.int64),
+                offs[1:] - offs[:-1],
+            )
+            roff = b["offsets"][row]
+            keep = roff != _EMPTY
+            nv = landing_arr(nxt, child)
+            fin = lv.fin[d][child].astype(np.int64)
+            entry = ((nv << vshift) | (fin << cb) | cols).astype(np.int32)
+            tbl[roff[keep] + cols[keep]] = entry[keep]
             side_tables.append(np.zeros(1, dtype=np.int32))
         else:
-            sbytes = np.zeros(b["ht_len"] + mono_span, dtype=np.uint8)
-            for r, cols in enumerate(b["cols"]):
-                off = b["offsets"][r]
-                if off == _EMPTY:
-                    continue
-                for j, pair in enumerate(cols):
-                    end = b["vals"][r][j]
-                    nv = landing(nxt, end)
-                    fin = 1 if class_fin[d + 1][end] else 0
-                    tbl[off + int(pair)] = (
-                        (nv << vshift) | (fin << (2 * cb)) | int(pair)
-                    )
-                for a in b["side"][r]:
-                    sbytes[off + int(a)] = int(a) + 1
-            pad = (-len(sbytes)) % 4
-            sb = np.concatenate([sbytes, np.zeros(pad, np.uint8)])
-            side_tables.append(
-                sb.view("<u4").astype(np.int64).astype(np.int32)
+            p_offs, pair, end, s_offs, side = b["join"]
+            endl = end.astype(np.int64)
+            fin_end = (
+                lv.fin[d + 1][endl]
+                if d + 1 <= D - 1
+                else np.zeros(len(endl), dtype=bool)
             )
+            tbl, stbl = _fill_pair_table(
+                b["ht_len"], b["offsets"], p_offs, pair, end, s_offs,
+                side, disp_next=landing_arr(nxt, endl), fin_end=fin_end,
+                vshift=vshift, fin_shift=2 * cb, mono_span=mono_span,
+            )
+            side_tables.append(stbl)
         main_tables.append(tbl)
 
     # ---- prologue: dense P0 (depths 1+2) or code-indexed s0 (depth 1) ------
     p0_miss = miss
     if p0_mode == "dense":
         p0 = build_dense_p0(
-            shard, class_fin, class_tr, s0_class, code_of, cb, D,
-            landing_fn=lambda cls: landing(0, cls), miss=miss,
+            shard, lv, code_of, cb,
+            landing_fn=lambda cls: int(landing_arr(0, np.array([cls]))[0]),
+            miss=miss,
         )
     else:
         # s0[code] = (disp into step 0 << 1) | fin1, -1 = no depth-1 state
@@ -319,9 +293,11 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
             u = int(shard.s0[c])
             if u < 0:
                 continue
-            cls = s0_class[u]
-            fin1 = 1 if class_fin[0][cls] else 0
-            p0[int(code_of[c])] = (landing(0, cls) << 1) | fin1
+            cls = lv.s0_class[u]
+            fin1 = 1 if lv.fin[0][cls] else 0
+            p0[int(code_of[c])] = (
+                int(landing_arr(0, np.array([cls]))[0]) << 1
+            ) | fin1
 
     # ---- bank + spec assembly ----------------------------------------------
     tm = [_to_banks_trimmed(t) for t in main_tables]
