@@ -85,3 +85,79 @@ class TestNativeParity:
         t_def = build_pfac_trie(pats)
         t_np = build_pfac_trie(pats, use_native=False)
         np.testing.assert_array_equal(t_def.table, t_np.table)
+
+    @pytest.mark.parametrize("seed", [0, 5, 9])
+    def test_minimize_partition_equality(self, seed):
+        """Native hash-partition == NumPy np.unique partition.
+
+        Class NUMBERING differs (first-occurrence vs lexicographic
+        order); the PARTITIONS must be identical — the relabelling
+        between the two must be a bijection per level.
+        """
+        from phfpfac_tpu.compile.depth import (
+            _bfs_levels,
+            _partition_numpy,
+        )
+
+        pats = _random_patterns(seed, 120, alpha_lo=97, alpha_hi=103)
+        trie = build_pfac_trie(pats)
+        dense = trie.table.astype(np.int32)
+        init = trie.final_state_num + 1
+        levels = _bfs_levels(dense, init)
+        inv_np, rep_np = _partition_numpy(dense, levels, trie.final_state_num)
+        inv_cc, rep_cc = native.minimize_levels_native(
+            dense, levels, trie.final_state_num
+        )
+        for li in range(len(levels)):
+            assert len(rep_np[li]) == len(rep_cc[li])  # same class count
+            fwd, bwd = {}, {}
+            for a, b in zip(inv_np[li], inv_cc[li]):
+                a, b = int(a), int(b)
+                assert fwd.setdefault(a, b) == b
+                assert bwd.setdefault(b, a) == a
+
+    @pytest.mark.parametrize("seed,colspan", [(0, 256), (3, 64), (8, 4096)])
+    def test_layout_distinct_exact_match(self, seed, colspan):
+        """Native CSR layout == NumPy _layout_distinct placement."""
+        from phfpfac_tpu.compile.depth import _EMPTY, _layout_with_growth
+        from phfpfac_tpu.compile.native import layout_distinct_native
+
+        rng = np.random.default_rng(seed)
+        n = 60
+        cols_list, side_list = [], []
+        for _ in range(n):
+            nc = int(rng.integers(0, 9))
+            ns = int(rng.integers(0, 3))
+            cols_list.append(
+                np.sort(
+                    rng.choice(colspan, size=nc, replace=False)
+                ).astype(np.int64)
+            )
+            side_list.append(
+                np.sort(
+                    rng.choice(colspan, size=ns, replace=False)
+                ).astype(np.int64)
+            )
+        force = rng.integers(0, 2, n).astype(bool)
+        off_np, len_np = _layout_with_growth(
+            cols_list, colspan=colspan, force_offset=force,
+            side_cols_list=side_list,
+        )
+        cols_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in cols_list], out=cols_offs[1:])
+        side_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in side_list], out=side_offs[1:])
+        res = layout_distinct_native(
+            cols_offs,
+            np.concatenate(cols_list) if cols_offs[-1] else
+            np.empty(0, np.int64),
+            cap=max(2048, 4 * int(cols_offs[-1] + side_offs[-1] + n)),
+            colspan=colspan, force_offset=force, side_offs=side_offs,
+            side_blob=np.concatenate(side_list) if side_offs[-1] else
+            np.empty(0, np.int64),
+            empty=_EMPTY,
+        )
+        assert res is not None
+        off_cc, len_cc = res
+        assert len_cc == len_np
+        np.testing.assert_array_equal(off_cc, off_np)
