@@ -457,8 +457,8 @@ def build_depth_tables(
     init = nf + 1
     if shard.state_num <= init:
         raise DepthUnsupported("degenerate automaton")
-    dense = _reconstruct_dense(shard)
-    dense[init] = shard.s0  # identical by construction; be explicit
+    dense = shard.dense_table()
+    dense[init] = shard.s0  # identical by construction; be explicit  # identical by construction; be explicit
     levels = _bfs_levels(dense, init)
     D = len(levels)
     if D == 0:

@@ -239,8 +239,8 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
     init = nf + 1
     if shard.state_num <= init:
         raise PairUnsupported("degenerate automaton")
-    dense = _reconstruct_dense(shard)
-    dense[init] = shard.s0
+    dense = shard.dense_table()
+    dense[init] = shard.s0  # identical by construction; be explicit
     levels = _bfs_levels(dense, init)
     D = len(levels)
     if D == 0:

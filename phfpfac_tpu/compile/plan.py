@@ -119,8 +119,8 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
         raise PairUnsupported("degenerate automaton")
     if not minimize:
         raise PairUnsupported("plan tables require class minimization")
-    dense = _reconstruct_dense(shard)
-    dense[init] = shard.s0
+    dense = shard.dense_table()
+    dense[init] = shard.s0  # identical by construction; be explicit
     levels = _bfs_levels(dense, init)
     D = len(levels)
     if D == 0:

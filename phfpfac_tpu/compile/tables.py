@@ -26,30 +26,124 @@ from phfpfac_tpu.frontend.patterns import (
 from phfpfac_tpu.utils.config import CHAR_SET, PfacConfig
 
 
-@dataclass
 class ShardTables:
     """Everything one device needs to scan with one dictionary shard.
 
     This is the TPU analog of the reference ``thread_data``
     (main.cc:19-32): s0 row + PHF (r, HT, val) + shape metadata.
+
+    The PHF is LAZY: the reference builds it unconditionally
+    (main.cc:122-126) because its kernel probes it, but the fast TPU
+    engines (compile.plan/pair/depth) derive their own tables straight
+    from the dense trie, so the FFDM pack — the slowest host-compile
+    phase at scale — runs only when an engine, the serializer, or a
+    stats report actually touches ``r``/``ht``/``val``/``ht_size``.
+    Construct with either ``r/ht/val/ht_size`` (eager, e.g. loaded
+    from disk) or ``dense`` (the trie table; PHF built on demand).
     """
 
-    state_num: int
-    final_state_num: int  # k: states 0..k-1 are final
-    max_pat_len: int
-    width: int
-    ht_size: int
-    s0: np.ndarray  # int32 [256]
-    r: np.ndarray  # int32 [dev_rows]
-    ht: np.ndarray  # int32 [ht_size]
-    val: np.ndarray  # int32 [ht_size]
-    pattern_id_map: np.ndarray  # int32 [k] shard-local final -> global 1-based id
-    patterns: list | None = None  # shard's sorted pattern bytes (for bitmap decode)
-    output_lists: dict | None = None  # final -> ALL global ids (charset multi-output)
+    def __init__(
+        self,
+        *,
+        state_num: int,
+        final_state_num: int,  # k: states 0..k-1 are final
+        max_pat_len: int,
+        width: int,
+        s0: np.ndarray,  # int32 [256]
+        pattern_id_map: np.ndarray,  # int32 [k] local final -> global 1-based id
+        ht_size: int | None = None,
+        r: np.ndarray | None = None,  # int32 [dev_rows]
+        ht: np.ndarray | None = None,  # int32 [ht_size]
+        val: np.ndarray | None = None,  # int32 [ht_size]
+        dense: np.ndarray | None = None,  # int32 [state_num, 256] trie table
+        patterns: list | None = None,  # sorted pattern bytes (bitmap decode)
+        output_lists: dict | None = None,  # final -> ALL ids (charset)
+    ):
+        self.state_num = state_num
+        self.final_state_num = final_state_num
+        self.max_pat_len = max_pat_len
+        self.width = width
+        self.s0 = s0
+        self.pattern_id_map = pattern_id_map
+        self.patterns = patterns
+        self.output_lists = output_lists
+        self._r, self._ht, self._val, self._ht_size = r, ht, val, ht_size
+        self._dense = dense
+        if r is None and dense is None and patterns is None:
+            raise ValueError("need a PHF, a dense table, or patterns")
 
     @property
     def width_bit(self) -> int:
         return self.width.bit_length() - 1
+
+    # ---------------- lazy PHF --------------------------------------
+
+    @property
+    def has_phf(self) -> bool:
+        return self._r is not None
+
+    def ensure_phf(self) -> None:
+        """Build the PHF from the dense trie if not yet present."""
+        if self._r is not None:
+            return
+        phf = build_phf(self.dense_table(), self.width)
+        if phf.ht_size == 0:
+            # degenerate empty shard: keep a real (never-verifying)
+            # buffer so device gathers stay in bounds
+            phf.ht = np.full(1, -1, dtype=np.int32)
+            phf.val = np.full(1, -1, dtype=np.int32)
+        self._r, self._ht, self._val = phf.r, phf.ht, phf.val
+        self._ht_size = phf.ht_size
+
+    @property
+    def r(self) -> np.ndarray:
+        self.ensure_phf()
+        return self._r
+
+    @property
+    def ht(self) -> np.ndarray:
+        self.ensure_phf()
+        return self._ht
+
+    @property
+    def val(self) -> np.ndarray:
+        self.ensure_phf()
+        return self._val
+
+    @property
+    def ht_size(self) -> int:
+        self.ensure_phf()
+        return self._ht_size
+
+    # ---------------- dense trie table ------------------------------
+
+    def dense_table(self) -> np.ndarray:
+        """The dense int32 [state_num, 256] transition table.
+
+        Priority: the cached trie table (set at compile time) >
+        rebuild from the stored sorted patterns (native trie build) >
+        invert the PHF (loaded-from-disk dictionaries; see
+        compile.depth._reconstruct_dense).
+        """
+        if self._dense is not None:
+            return self._dense
+        if self.patterns is not None and self.output_lists is None:
+            from phfpfac_tpu.compile.trie import build_pfac_trie
+            from phfpfac_tpu.frontend.patterns import Pattern
+
+            trie = build_pfac_trie(
+                [Pattern(i + 1, p) for i, p in enumerate(self.patterns)]
+            )
+            self._dense = trie.table
+        else:
+            from phfpfac_tpu.compile.depth import _reconstruct_dense
+
+            self._dense = _reconstruct_dense(self)
+        return self._dense
+
+    def drop_dense(self) -> None:
+        """Release the dense-table cache (468 MB at 160k-pattern scale)."""
+        self._dense = None
 
 
 @dataclass
@@ -148,23 +242,26 @@ class CompiledDictionary:
         )
 
 
-def _shard_to_tables(trie: TrieTables, phf: PhfTable) -> ShardTables:
+def _shard_to_tables(
+    trie: TrieTables, phf: PhfTable | None, width: int
+) -> ShardTables:
     # Pad degenerate (empty-shard) tables to length >= 1 so device
     # gathers always have a real buffer; the -1 sentinel can never
     # verify as a hit (ht stores only row numbers >= 0).
-    if phf.ht_size == 0:
+    if phf is not None and phf.ht_size == 0:
         phf.ht = np.full(1, -1, dtype=np.int32)
         phf.val = np.full(1, -1, dtype=np.int32)
     return ShardTables(
         state_num=trie.state_num,
         final_state_num=trie.final_state_num,
         max_pat_len=trie.max_pat_len,
-        width=phf.width,
-        ht_size=phf.ht_size,
+        width=width,
+        ht_size=phf.ht_size if phf is not None else None,
         s0=np.ascontiguousarray(trie.s0, dtype=np.int32),
-        r=phf.r,
-        ht=phf.ht,
-        val=phf.val,
+        r=phf.r if phf is not None else None,
+        ht=phf.ht if phf is not None else None,
+        val=phf.val if phf is not None else None,
+        dense=trie.table,
         pattern_id_map=trie.pattern_id_map,
     )
 
@@ -185,8 +282,10 @@ def compile_patterns(
 
     def build_one(sp):
         trie = build_pfac_trie(sp)
-        phf = build_phf(trie.table, config.width)
-        st = _shard_to_tables(trie, phf)
+        # the PHF stays lazy (ShardTables.ensure_phf) unless the stats
+        # report needs it — the fast TPU engines never touch it
+        phf = build_phf(trie.table, config.width) if verbose else None
+        st = _shard_to_tables(trie, phf, config.width)
         st.patterns = [p.data for p in sp]
         return st, phf
 

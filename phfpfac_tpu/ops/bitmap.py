@@ -83,9 +83,16 @@ def decode_hits(
         if isinstance(data, (bytes, bytearray))
         else np.asarray(data, dtype=np.uint8)
     )
-    width_bit = shard.width_bit
-    width_m1 = shard.width - 1
-    ht_size = shard.ht_size
+    # Walk backend: the PHF probe when it is already built, else the
+    # dense trie table (one gather per step; keeps the decode path
+    # from forcing the lazy FFDM pack, compile.tables.ShardTables).
+    use_phf = shard.has_phf
+    if use_phf:
+        width_bit = shard.width_bit
+        width_m1 = shard.width - 1
+        ht_size = shard.ht_size
+    else:
+        dense = shard.dense_table()
     k = shard.final_state_num
     n = len(arr)
 
@@ -110,15 +117,20 @@ def decode_hits(
             break
         idx_c = np.minimum(hit_pos + t, n - 1)
         ch = arr[idx_c].astype(np.int64)
-        key = np.where(state >= 0, state, 0) * 256 + ch
-        row = key >> width_bit
-        col = key & width_m1
-        row_ok = (state >= 0) & (row < len(shard.r)) & (hit_pos + t < n)
-        ridx = shard.r[np.clip(row, 0, len(shard.r) - 1)] + col
-        ok = row_ok & (ridx >= 0) & (ridx < ht_size)
-        ridx_c = np.clip(ridx, 0, max(ht_size - 1, 0))
-        ok &= shard.ht[ridx_c] == row
-        state = np.where(ok, shard.val[ridx_c], -1).astype(np.int64)
+        alive = (state >= 0) & (hit_pos + t < n)
+        if use_phf:
+            key = np.where(state >= 0, state, 0) * 256 + ch
+            row = key >> width_bit
+            col = key & width_m1
+            row_ok = alive & (row < len(shard.r))
+            ridx = shard.r[np.clip(row, 0, len(shard.r) - 1)] + col
+            ok = row_ok & (ridx >= 0) & (ridx < ht_size)
+            ridx_c = np.clip(ridx, 0, max(ht_size - 1, 0))
+            ok &= shard.ht[ridx_c] == row
+            state = np.where(ok, shard.val[ridx_c], -1).astype(np.int64)
+        else:
+            nxt = dense[np.where(alive, state, 0), ch]
+            state = np.where(alive, nxt, -1).astype(np.int64)
         record(t, state)
 
     if not out:
