@@ -282,6 +282,19 @@ int64_t pfac_minimize_levels(const int32_t* dense, int64_t state_num,
 //   force:                uint8 [n] (may be null): rows with no cols
 //                         and no sides still get an offset when set.
 //   colspan, cap:         as in the NumPy path.
+//   side_alias_mask:      0 = side entries verified by the FULL code
+//                         (byte storage).  Otherwise (e.g. 7) side
+//                         entries store only (code & mask) + 1 —
+//                         probe codes range over [0, side_span) — and
+//                         the layout must prevent cross-row aliasing:
+//                         a probe of code a' at a slot owned by a
+//                         foreign (row, a) entry must not satisfy
+//                         a' == a (mod mask+1).  Enforced two ways:
+//                         (1) `shadow` marks offsets any future row
+//                         must avoid because an existing side slot
+//                         would alias one of its probes; (2) placing
+//                         new side slots checks used_off at every
+//                         aliasing probe origin.
 //   out_offsets:          int64 [n]; rows with no placement get `empty`.
 //
 // Returns ht_len (>= 1), or -1 on overflow (caller doubles cap).
@@ -291,6 +304,7 @@ int64_t pfac_layout_distinct(const int64_t* cols_blob,
                              const int64_t* side_offs, int64_t n,
                              const uint8_t* force, int64_t colspan,
                              int64_t cap, int64_t empty,
+                             int64_t side_alias_mask, int64_t side_span,
                              int64_t* out_offsets) {
   // stable descending main-column count
   std::vector<int32_t> order(n);
@@ -306,6 +320,10 @@ int64_t pfac_layout_distinct(const int64_t* cols_blob,
   std::vector<uint64_t> occ((span + 63) / 64 + 1, 0);
   std::vector<uint64_t> side_occ((span + 63) / 64 + 1, 0);
   std::vector<uint64_t> used_off((span + 63) / 64 + 1, 0);
+  std::vector<uint64_t> shadow;
+  if (side_alias_mask) shadow.assign((span + 63) / 64 + 1, 0);
+  // aliases of code a under the verify mask, within [0, colspan)
+  const int64_t period = side_alias_mask + 1;
   auto test = [](const std::vector<uint64_t>& bs, int64_t s) {
     return (bs[s >> 6] >> (s & 63)) & 1u;
   };
@@ -345,6 +363,10 @@ int64_t pfac_layout_distinct(const int64_t* cols_blob,
         offset = next_free(used_off, offset + colspan) - colspan;
         continue;
       }
+      if (side_alias_mask && test(shadow, offset + colspan)) {
+        offset = next_free(shadow, offset + colspan) - colspan;
+        continue;
+      }
       bool ok = true;
       for (int64_t j = clo; j < chi; ++j) {
         const int64_t s = offset + cols_blob[j] + colspan;
@@ -362,13 +384,38 @@ int64_t pfac_layout_distinct(const int64_t* cols_blob,
           ok = false;
           break;
         }
+        if (side_alias_mask) {
+          // an existing row whose offset is s - a' (a' an alias of
+          // this code) would read this new slot as a false positive
+          const int64_t a = side_blob[j];
+          for (int64_t ap = a % period; ap < side_span; ap += period) {
+            if (ap == a || s - ap < 0) continue;
+            if (test(used_off, s - ap)) {  // s is already biased
+              ok = false;
+              break;
+            }
+          }
+          if (!ok) {
+            ++offset;
+            break;
+          }
+        }
       }
       if (ok) break;
     }
     if (offset >= cap) return -1;
     for (int64_t j = clo; j < chi; ++j) set(occ, offset + cols_blob[j] + colspan);
-    for (int64_t j = slo; j < shi; ++j)
-      set(side_occ, offset + side_blob[j] + colspan);
+    for (int64_t j = slo; j < shi; ++j) {
+      const int64_t s = offset + side_blob[j] + colspan;
+      set(side_occ, s);
+      if (side_alias_mask) {
+        // block every future offset whose probe of an aliasing code
+        // would land on this slot
+        const int64_t a = side_blob[j];
+        for (int64_t ap = a % period; ap < side_span; ap += period)
+          if (s - ap >= 0) set(shadow, s - ap);
+      }
+    }
     set(used_off, offset + colspan);
     placed.emplace_back(i, offset);
     const int64_t end = offset + (nc ? cols_blob[chi - 1] : 0);

@@ -246,11 +246,16 @@ def _layout_csr(
     force_offset: np.ndarray | None = None,
     side_offs: np.ndarray | None = None,
     side_blob: np.ndarray | None = None,
+    side_alias_mask: int = 0,
+    side_span: int = 0,
 ) -> tuple:
     """CSR-form distinct-offset layout with capacity growth.
 
     Same placement as _layout_distinct (the C++ path is exact,
     tests/test_native.py); returns (offsets int64 [n], ht_len).
+    ``side_alias_mask`` (native only — callers gate on
+    native.available()) adds the anti-aliasing constraints that make
+    compact nibble side verification sound.
     """
     from phfpfac_tpu.compile import native
 
@@ -265,12 +270,17 @@ def _layout_csr(
                 cols_offs, cols_blob, cap, colspan=colspan,
                 force_offset=force_offset, side_offs=side_offs,
                 side_blob=side_blob, empty=_EMPTY,
+                side_alias_mask=side_alias_mask, side_span=side_span,
             )
             if res is not None:
                 return res
             cap *= 2
             if cap > (1 << DISP_BITS):
                 raise DepthUnsupported("depth table exceeds disp bits")
+    if side_alias_mask:
+        raise RuntimeError(
+            "side_alias_mask layouts require the native library"
+        )
     cols_list = [
         cols_blob[cols_offs[i]:cols_offs[i + 1]].astype(np.int64)
         for i in range(n)
@@ -285,6 +295,21 @@ def _layout_csr(
         cols_list, colspan=colspan, force_offset=force_offset,
         side_cols_list=side_list,
     )
+
+
+def _layout_banks(offsets, csr_offs, cols, div: int = 1) -> int:
+    """Post-trim bank count a laid-out table costs the kernel probe.
+
+    Span of occupied slots (divided by ``div`` for packed side words),
+    in 128-lane banks.
+    """
+    cnt = csr_offs[1:] - csr_offs[:-1]
+    row = np.repeat(np.arange(len(cnt)), cnt)
+    keep = offsets[row] != _EMPTY
+    if not keep.any():
+        return 0
+    slots = (offsets[row][keep] + cols[keep]) // div
+    return int(slots.max() // 128 - slots.min() // 128 + 1)
 
 
 def _to_banks(flat: np.ndarray, fill: int = -1) -> np.ndarray:

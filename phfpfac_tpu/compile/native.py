@@ -76,7 +76,7 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ]
             _lib = lib
         except Exception:  # noqa: BLE001 — fall back to NumPy
@@ -156,9 +156,13 @@ def layout_distinct_native(
     cols_offs: np.ndarray, cols_blob: np.ndarray, cap: int, *,
     colspan: int, force_offset: np.ndarray | None,
     side_offs: np.ndarray | None, side_blob: np.ndarray | None,
-    empty: int,
+    empty: int, side_alias_mask: int = 0, side_span: int = 0,
 ):
     """Native distinct-offset first-fit layout (CSR form).
+
+    ``side_alias_mask`` > 0 enables the anti-aliasing constraints for
+    compact side-table verification (side entries store only
+    (code & mask) + 1; see pfac_native.cpp).
 
     Returns (offsets int64 [n], ht_len) or None on capacity overflow
     (caller doubles cap and retries).
@@ -183,7 +187,7 @@ def layout_distinct_native(
         cols_blob.ctypes.data, cols_offs.ctypes.data,
         side_blob.ctypes.data if len(side_blob) else side_offs.ctypes.data,
         side_offs.ctypes.data, n, force_p, colspan, cap, empty,
-        out.ctypes.data,
+        side_alias_mask, side_span or colspan, out.ctypes.data,
     )
     if ht_len < 0:
         return None

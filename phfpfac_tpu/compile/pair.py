@@ -52,6 +52,7 @@ from phfpfac_tpu.compile.depth import (
     Levels,
     MAX_DEPTH_STEPS,
     _bfs_levels,
+    _layout_banks,
     _layout_csr,
     _minimize_levels,
     _reconstruct_dense,
@@ -87,6 +88,9 @@ class PairTables:
     n_pair_steps: int  # K+1 = number of pair probes incl the dense P_0
     disp_miss: int  # dead/leaf displacement sentinel (entry-width bound)
     max_pat_len: int
+    # per pair step: side entries are 4-bit (code&7)+1 packed 8/word
+    # (True) or bytes code+1 packed 4/word (False)
+    s_nibbles: tuple = ()
 
 
 def collect_alphabet(shard: ShardTables, lv: Levels,
@@ -198,15 +202,52 @@ def _pair_join(lv: Levels, li: int, code_of: np.ndarray, cb: int):
     return p_offs, pair, end, s_offs, s_codes
 
 
+def _layout_pair_step(p_offs, pair, s_offs, side, pair_span, mono_span):
+    """Lay out one pair step, choosing the side-table packing.
+
+    Tries the byte layout (full-code verify) and, when the native
+    layout is available, the 4-bit layout (mod-8 verify + anti-alias
+    constraints); keeps whichever costs the kernel fewer total probe
+    banks.  The nibble constraints shrink the side table ~2x but can
+    fragment the MAIN table on row-heavy steps — measured per step,
+    not assumed.
+
+    Returns (offsets, ht_len, side_nibble, banks).
+    """
+    from phfpfac_tpu.compile import native
+
+    force = (s_offs[1:] - s_offs[:-1]) > 0
+    modes = [(False, 0, 4)]
+    if native.available():
+        modes.append((True, 7, 8))
+    best = None
+    for nib, mask, per in modes:
+        offsets, ht_len = _layout_csr(
+            p_offs, pair, colspan=pair_span, force_offset=force,
+            side_offs=s_offs, side_blob=side,
+            side_alias_mask=mask, side_span=mono_span,
+        )
+        banks = _layout_banks(offsets, p_offs, pair) + _layout_banks(
+            offsets, s_offs, side, div=per
+        )
+        if best is None or banks < best[3]:
+            best = (offsets, ht_len, nib, banks)
+    return best
+
+
 def _fill_pair_table(
     ht_len: int, offsets, p_offs, pair, end, s_offs, side, *,
     disp_next, fin_end, vshift: int, fin_shift: int, mono_span: int,
+    side_nibble: bool = False,
 ):
-    """(ptbl int32, side int32 packed-4B) for one pair step.
+    """(ptbl int32, side int32) for one pair step.
 
     ``disp_next[j]``/``fin_end[j]`` are per-transition landing
     displacement and finality; rows with _EMPTY offsets hold no
-    transitions by construction.
+    transitions by construction.  Side packing: bytes ``code+1``
+    (4/word) by default, or nibbles ``(code & 7) + 1`` (8/word) when
+    the layout ran with the anti-aliasing constraints that make the
+    truncated verify sound (side_nibble).
     """
     n_rows = len(p_offs) - 1
     ptbl = np.full(ht_len, -1, dtype=np.int32)
@@ -220,16 +261,24 @@ def _fill_pair_table(
     ).astype(np.int32)
     ptbl[roff[keep] + pair[keep]] = entry[keep]
 
-    sbytes = np.zeros(ht_len + mono_span, dtype=np.uint8)
+    svals = np.zeros(ht_len + mono_span, dtype=np.uint32)
     srow = np.repeat(
         np.arange(n_rows, dtype=np.int64), s_offs[1:] - s_offs[:-1]
     )
     sroff = offsets[srow]
     skeep = sroff != _EMPTY
-    sbytes[sroff[skeep] + side[skeep]] = (side[skeep] + 1).astype(np.uint8)
-    pad = (-len(sbytes)) % 4
-    sb = np.concatenate([sbytes, np.zeros(pad, np.uint8)])
-    return ptbl, sb.view("<u4").astype(np.int64).astype(np.int32)
+    if side_nibble:
+        svals[sroff[skeep] + side[skeep]] = (side[skeep] & 7) + 1
+        per, bits = 8, 4
+    else:
+        svals[sroff[skeep] + side[skeep]] = side[skeep] + 1
+        per, bits = 4, 8
+    pad = (-len(svals)) % per
+    sv = np.concatenate([svals, np.zeros(pad, np.uint32)]).reshape(-1, per)
+    word = np.zeros(len(sv), dtype=np.uint32)
+    for j in range(per):
+        word |= sv[:, j] << np.uint32(bits * j)
+    return ptbl, word.view(np.int32)
 
 
 def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTables:
@@ -263,18 +312,20 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
     pair_miss = (1 << (31 - val_shift)) - 1
     joins = [_pair_join(lv, 2 * k - 1, code_of, cb) for k in range(1, K + 1)]
 
+
+
     # ---- layouts (deep -> shallow so next-step disps are known) ----------
     offsets_k: list[np.ndarray] = [None] * (K + 1)  # 1-based
     ht_lens: list[int] = [0] * (K + 1)
+    nibbles: list[bool] = [False] * (K + 1)
     for k in range(1, K + 1):
         p_offs, pair, _end, s_offs, side = joins[k - 1]
-        force = (s_offs[1:] - s_offs[:-1]) > 0
-        offsets, ht_len = _layout_csr(
-            p_offs, pair, colspan=pair_span,
-            force_offset=force, side_offs=s_offs, side_blob=side,
+        offsets, ht_len, nib, _banks = _layout_pair_step(
+            p_offs, pair, s_offs, side, pair_span, mono_span
         )
         offsets_k[k] = offsets
         ht_lens[k] = ht_len
+        nibbles[k] = nib
 
     def disp_arr(cls: np.ndarray, k: int) -> np.ndarray:
         """Displacements carried by walkers landing on depth-2k classes."""
@@ -302,7 +353,7 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
             ht_lens[k], offsets, p_offs, pair, end, s_offs, side,
             disp_next=disp_arr(end.astype(np.int64), k + 1),
             fin_end=fin_end, vshift=val_shift, fin_shift=2 * cb,
-            mono_span=mono_span,
+            mono_span=mono_span, side_nibble=nibbles[k],
         )
         p_tables.append(ptbl)
         s_tables.append(stbl)
@@ -353,4 +404,5 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
         n_pair_steps=K + 1,
         disp_miss=pair_miss,
         max_pat_len=shard.max_pat_len,
+        s_nibbles=tuple(nibbles[1:]),
     )

@@ -59,6 +59,7 @@ from phfpfac_tpu.compile.depth import (
 from phfpfac_tpu.compile.pair import (
     PairUnsupported,
     _fill_pair_table,
+    _layout_pair_step,
     _pair_join,
     build_dense_p0,
     collect_alphabet,
@@ -76,8 +77,6 @@ _LANE = 128
 # individual depths to mono.
 _FIX_MONO = 160.0
 _FIX_PAIR = 160.0
-_UTIL_MONO = 0.8
-_UTIL_PAIR = 0.5
 
 
 @dataclass(frozen=True)
@@ -92,6 +91,7 @@ class StepSpec:
     s_off: int  # side table (pair only; zeros for mono)
     s_nb: int
     s_k0: int
+    s_nibble: bool  # side entries 4-bit (code&7)+1 8/word, else bytes
     miss: int  # dead sentinel VALUE stored by this step's entries
 
 
@@ -135,44 +135,50 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     mono_span = 1 << cb
     p0_mode = "dense" if pair_span <= 4096 else "s0"
 
-    # ---- DP over step kinds -----------------------------------------------
-    # entries(M_d) = transitions out of depth-d classes;
-    # entries(P_d) = two-step transitions (duplicated through odd mids)
-    def mono_entries(d: int) -> int:  # d = start depth, covers d+1
-        return int(len(lv.tr_cols[d - 1]))
+    # ---- exact-cost DP over step kinds ------------------------------------
+    # The native layout is fast enough to lay out BOTH candidates at
+    # every depth and price the DP on the ACTUAL post-trim bank counts
+    # the kernel will probe (4 vops/bank, _lut), not utilization
+    # estimates.  Candidate layouts are cached and reused by the fill.
+    from phfpfac_tpu.compile.depth import _layout_banks
 
-    def pair_entries(d: int) -> int:  # covers d+1, d+2
+    mono_cand: dict = {}  # d -> dict(offsets, ht_len, cols, banks)
+    pair_cand: dict = {}  # d -> dict(offsets, ht_len, join, nib, banks)
+    d_lo = 2 if p0_mode == "dense" else 1
+    for d in range(d_lo, D):
         li = d - 1
-        if li + 1 > D - 1:
-            return 0
-        mid = lv.tr_child[li].astype(np.int64)
-        offs2 = lv.tr_offs[li + 1]
-        return int((offs2[mid + 1] - offs2[mid]).sum())
+        cols = code_of[lv.tr_cols[li]].astype(np.int64)
+        offsets, ht_len = _layout_csr(lv.tr_offs[li], cols, colspan=mono_span)
+        mono_cand[d] = dict(
+            offsets=offsets, ht_len=ht_len, cols=cols,
+            banks=_layout_banks(offsets, lv.tr_offs[li], cols),
+        )
+        if li + 1 <= D - 1:  # a pair step needs an odd level to fuse
+            join = _pair_join(lv, li, code_of, cb)
+            p_offs, pair, _end, s_offs, side = join
+            offsets, ht_len, nib, banks = _layout_pair_step(
+                p_offs, pair, s_offs, side, pair_span, mono_span
+            )
+            pair_cand[d] = dict(
+                offsets=offsets, ht_len=ht_len, join=join, nib=nib,
+                banks=banks,
+            )
 
     INF = float("inf")
     cost = [0.0] * (D + 2)
     choice = [None] * (D + 1)
-    for d in range(D - 1, 1, -1):  # start depths D-1 .. 2
-        m = (
-            4.0 * (mono_entries(d) / _UTIL_MONO / 128.0)
-            + _FIX_MONO
-            + cost[d + 1]
-        )
+    for d in range(D - 1, d_lo - 1, -1):
+        m = 4.0 * mono_cand[d]["banks"] + _FIX_MONO + cost[d + 1]
         p = INF
-        if d + 1 <= D:
-            side_banks = mono_entries(d) / 4.0 / 128.0  # rough
-            p = (
-                4.0 * (pair_entries(d) / _UTIL_PAIR / 128.0 + side_banks)
-                + _FIX_PAIR
-                + cost[d + 2]
-            )
+        if d in pair_cand:
+            p = 4.0 * pair_cand[d]["banks"] + _FIX_PAIR + cost[d + 2]
         if p <= m:
             cost[d], choice[d] = p, "pair"
         else:
             cost[d], choice[d] = m, "mono"
 
     plan_kinds: list[tuple] = []  # (kind, start_depth)
-    d = 2 if p0_mode == "dense" else 1
+    d = d_lo
     while d < D:
         k = choice[d] or "mono"
         plan_kinds.append((k, d))
@@ -186,7 +192,7 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     )
     miss = (1 << (31 - max_vshift)) - 1
 
-    # ---- build layouts in reverse plan order (disp chaining) --------------
+    # ---- assemble chosen steps from the cached candidate layouts ----------
     # For each step: rows = classes at its start depth.
     built: list[dict] = [None] * len(plan_kinds)
     # disp_of[i][cls] = displacement into step i's table for a walker
@@ -204,31 +210,19 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
 
     for i in range(len(plan_kinds) - 1, -1, -1):
         kind, d = plan_kinds[i]
-        li = d - 1
         if kind == "mono":
-            # columns are byte CODES; code_of is order-preserving over
-            # used bytes, so per-row ascending order is kept
-            cols = code_of[lv.tr_cols[li]].astype(np.int64)
-            offsets, ht_len = _layout_csr(
-                lv.tr_offs[li], cols, colspan=mono_span
-            )
-            disp_of[i] = offsets
+            c = mono_cand[d]
+            disp_of[i] = c["offsets"]
             built[i] = dict(
-                kind=kind, d=d, vshift=cb + 1, offsets=offsets,
-                ht_len=ht_len, cols=cols,
+                kind=kind, d=d, vshift=cb + 1, offsets=c["offsets"],
+                ht_len=c["ht_len"], cols=c["cols"],
             )
         else:
-            join = _pair_join(lv, li, code_of, cb)
-            p_offs, pair, _end, s_offs, side = join
-            force = (s_offs[1:] - s_offs[:-1]) > 0
-            offsets, ht_len = _layout_csr(
-                p_offs, pair, colspan=pair_span, force_offset=force,
-                side_offs=s_offs, side_blob=side,
-            )
-            disp_of[i] = offsets
+            c = pair_cand[d]
+            disp_of[i] = c["offsets"]
             built[i] = dict(
-                kind=kind, d=d, vshift=2 * cb + 1, offsets=offsets,
-                ht_len=ht_len, join=join,
+                kind=kind, d=d, vshift=2 * cb + 1, offsets=c["offsets"],
+                ht_len=c["ht_len"], join=c["join"], nib=c["nib"],
             )
 
     # ---- fill -------------------------------------------------------------
@@ -274,6 +268,7 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
                 b["ht_len"], b["offsets"], p_offs, pair, end, s_offs,
                 side, disp_next=landing_arr(nxt, endl), fin_end=fin_end,
                 vshift=vshift, fin_shift=2 * cb, mono_span=mono_span,
+                side_nibble=b["nib"],
             )
             side_tables.append(stbl)
         main_tables.append(tbl)
@@ -311,7 +306,7 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
                 kind=b["kind"], depth0=b["d"] + 1,
                 off=m_acc, nb=mb.shape[0], k0=mk0,
                 s_off=s_acc, s_nb=sb.shape[0], s_k0=sk0,
-                miss=miss,
+                s_nibble=bool(b.get("nib", False)), miss=miss,
             )
         )
         m_acc += mb.shape[0]

@@ -62,7 +62,7 @@ def _make_pair_kernel(
     n_pair_steps: int,
     p_offs: tuple, p_nbs: tuple, p_k0s: tuple,
     s_offs: tuple, s_nbs: tuple, s_k0s: tuple,
-    nb_p0: int, cb: int, disp_miss: int,
+    nb_p0: int, cb: int, disp_miss: int, s_nibbles: tuple,
     emit_bitmap: bool, tiles_per_cell: int, cond_from: int,
 ):
     from jax.experimental import pallas as pl
@@ -136,15 +136,25 @@ def _make_pair_kernel(
                 bcol = jnp.take_along_axis(b_s[i], bidx, axis=1)
                 cur = jnp.where(at_tail, bcol, rolled)
                 disp = disps[i]
-                # odd-completion (side) probe: fin for depth 2k+1
+                # odd-completion (side) probe: fin for depth 2k+1.
+                # Nibble mode stores (code & 7) + 1, sound because the
+                # layout forbids cross-row mod-8 aliases (compile.pair)
                 a1 = cur & ((1 << cb) - 1)
                 sidx = disp + a1
-                w = _lut(s_ref, jax.lax.shift_right_logical(sidx, 2),
-                         sn, so, sk0)
-                byte = (
-                    jax.lax.shift_right_logical(w, (sidx & 3) << 3)
-                ) & 255
-                fin_mid = byte == a1 + 1
+                if s_nibbles[k - 1]:
+                    w = _lut(s_ref, jax.lax.shift_right_logical(sidx, 3),
+                             sn, so, sk0)
+                    nib = (
+                        jax.lax.shift_right_logical(w, (sidx & 7) << 2)
+                    ) & 15
+                    fin_mid = nib == (a1 & 7) + 1
+                else:
+                    w = _lut(s_ref, jax.lax.shift_right_logical(sidx, 2),
+                             sn, so, sk0)
+                    byte = (
+                        jax.lax.shift_right_logical(w, (sidx & 3) << 3)
+                    ) & 255
+                    fin_mid = byte == a1 + 1
                 # pair probe: fin for depth 2k+2 + next displacement
                 idx = disp + cur
                 g = _lut(p_ref, idx, pn, po, pk0)
@@ -206,7 +216,8 @@ def _make_pair_kernel(
 
 _STATICS = (
     "n_pair_steps", "p_offs", "p_nbs", "p_k0s", "s_offs", "s_nbs",
-    "s_k0s", "nb_p0", "cb", "disp_miss", "interpret", "tpc", "cond_from",
+    "s_k0s", "nb_p0", "cb", "disp_miss", "s_nibbles", "interpret",
+    "tpc", "cond_from",
 )
 
 
@@ -228,7 +239,7 @@ def _specs(tpc):
 def _pair_scan_bitmap(
     data2d, s0_dummy, p0_banks, packed_banks, side_banks,
     *, n_pair_steps, p_offs, p_nbs, p_k0s, s_offs, s_nbs, s_k0s,
-    nb_p0, cb, disp_miss, interpret, tpc, cond_from,
+    nb_p0, cb, disp_miss, s_nibbles, interpret, tpc, cond_from,
 ):
     from jax.experimental import pallas as pl
 
@@ -236,7 +247,7 @@ def _pair_scan_bitmap(
     kernel = _make_pair_kernel(
         n_pair_steps=n_pair_steps, p_offs=p_offs, p_nbs=p_nbs,
         p_k0s=p_k0s, s_offs=s_offs, s_nbs=s_nbs, s_k0s=s_k0s,
-        nb_p0=nb_p0, cb=cb,
+        nb_p0=nb_p0, cb=cb, s_nibbles=s_nibbles,
         disp_miss=disp_miss, emit_bitmap=True, tiles_per_cell=tpc,
         cond_from=cond_from,
     )
@@ -262,7 +273,7 @@ def _pair_scan_bitmap(
 def _pair_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, n_pair_steps, p_offs, p_nbs, p_k0s, s_offs, s_nbs, s_k0s,
-    nb_p0, cb, disp_miss, interpret, tpc, cond_from,
+    nb_p0, cb, disp_miss, s_nibbles, interpret, tpc, cond_from,
 ):
     from jax.experimental import pallas as pl
 
@@ -270,7 +281,7 @@ def _pair_scan_count(
     kernel = _make_pair_kernel(
         n_pair_steps=n_pair_steps, p_offs=p_offs, p_nbs=p_nbs,
         p_k0s=p_k0s, s_offs=s_offs, s_nbs=s_nbs, s_k0s=s_k0s,
-        nb_p0=nb_p0, cb=cb,
+        nb_p0=nb_p0, cb=cb, s_nibbles=s_nibbles,
         disp_miss=disp_miss, emit_bitmap=False, tiles_per_cell=tpc,
         cond_from=cond_from,
     )
@@ -304,7 +315,7 @@ class PairShardScanner:
             p_k0s=pt.p_k0s, s_offs=pt.s_offs, s_nbs=pt.s_nbs,
             s_k0s=pt.s_k0s,
             nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
-            disp_miss=pt.disp_miss,
+            disp_miss=pt.disp_miss, s_nibbles=pt.s_nibbles,
             interpret=self.interpret, tpc=self.tpc,
             cond_from=self.cond_from,
         )
@@ -357,7 +368,7 @@ class PairCountScan:
             p_k0s=pt.p_k0s, s_offs=pt.s_offs, s_nbs=pt.s_nbs,
             s_k0s=pt.s_k0s,
             nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
-            disp_miss=pt.disp_miss,
+            disp_miss=pt.disp_miss, s_nibbles=pt.s_nibbles,
             interpret=self.interpret, tpc=self.tpc,
             cond_from=self.cond_from,
         )

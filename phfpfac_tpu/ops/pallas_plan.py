@@ -140,16 +140,34 @@ def _make_plan_kernel(
                             sp.miss,
                         )
                     else:
+                        # nibble side entries store (code & 7) + 1 —
+                        # sound via the layout's mod-8 anti-aliasing
                         a1 = cur & cbm
                         sidx = disp + a1
-                        w = _lut(
-                            s_ref, jax.lax.shift_right_logical(sidx, 2),
-                            sp.s_nb, sp.s_off, sp.s_k0,
-                        )
-                        byte = (
-                            jax.lax.shift_right_logical(w, (sidx & 3) << 3)
-                        ) & 255
-                        fin_mid = byte == a1 + 1
+                        if sp.s_nibble:
+                            w = _lut(
+                                s_ref,
+                                jax.lax.shift_right_logical(sidx, 3),
+                                sp.s_nb, sp.s_off, sp.s_k0,
+                            )
+                            nib = (
+                                jax.lax.shift_right_logical(
+                                    w, (sidx & 7) << 2
+                                )
+                            ) & 15
+                            fin_mid = nib == (a1 & 7) + 1
+                        else:
+                            w = _lut(
+                                s_ref,
+                                jax.lax.shift_right_logical(sidx, 2),
+                                sp.s_nb, sp.s_off, sp.s_k0,
+                            )
+                            byte = (
+                                jax.lax.shift_right_logical(
+                                    w, (sidx & 3) << 3
+                                )
+                            ) & 255
+                            fin_mid = byte == a1 + 1
                         idx = disp + cur
                         g = _lut(m_ref, idx, sp.nb, sp.off, sp.k0)
                         hit = (g >= 0) & ((g & pair_mask) == cur)
