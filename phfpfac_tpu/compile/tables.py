@@ -163,10 +163,18 @@ class CompiledDictionary:
     # its natural equivalent of checkpoint/resume — SURVEY.md §5) ------
 
     def save(self, path: str | Path) -> None:
+        """Write the compiled dictionary to an .npz.
+
+        A shard whose PHF was never built (lazy — the fast engines
+        don't touch it) is saved WITHOUT it; load restores the same
+        lazy state, and the trie rebuilds from the stored patterns on
+        demand.  Version 2 of the format; version-1 files (PHF always
+        present) load unchanged.
+        """
         path = Path(path)
         arrays: dict[str, np.ndarray] = {}
         meta = {
-            "version": 1,
+            "version": 2,
             "max_pat_len": self.max_pat_len,
             "num_patterns": self.num_patterns,
             "width": self.width,
@@ -179,10 +187,14 @@ class CompiledDictionary:
                     "final_state_num": sh.final_state_num,
                     "max_pat_len": sh.max_pat_len,
                     "width": sh.width,
-                    "ht_size": sh.ht_size,
+                    "has_phf": sh.has_phf,
+                    **({"ht_size": sh.ht_size} if sh.has_phf else {}),
                 }
             )
-            for name in ("s0", "r", "ht", "val", "pattern_id_map"):
+            names = ("s0", "pattern_id_map") + (
+                ("r", "ht", "val") if sh.has_phf else ()
+            )
+            for name in names:
                 arrays[f"shard{i}_{name}"] = getattr(sh, name)
             if sh.output_lists is not None:
                 meta["shards"][-1]["output_lists"] = {
@@ -204,17 +216,18 @@ class CompiledDictionary:
             meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
             shards = []
             for i, m in enumerate(meta["shards"]):
+                has_phf = m.get("has_phf", True)  # v1 always had it
                 shards.append(
                     ShardTables(
                         state_num=m["state_num"],
                         final_state_num=m["final_state_num"],
                         max_pat_len=m["max_pat_len"],
                         width=m["width"],
-                        ht_size=m["ht_size"],
+                        ht_size=m["ht_size"] if has_phf else None,
                         s0=z[f"shard{i}_s0"],
-                        r=z[f"shard{i}_r"],
-                        ht=z[f"shard{i}_ht"],
-                        val=z[f"shard{i}_val"],
+                        r=z[f"shard{i}_r"] if has_phf else None,
+                        ht=z[f"shard{i}_ht"] if has_phf else None,
+                        val=z[f"shard{i}_val"] if has_phf else None,
                         pattern_id_map=z[f"shard{i}_pattern_id_map"],
                         patterns=(
                             [

@@ -73,40 +73,46 @@ class Matcher:
             ]
         return self._turbo_tables
 
-    def _match_flat_turbo(self, data: bytes, input_size: int) -> list:
-        """Per-shard flat (pos, step, local-state) matches via the turbo
-        engine, with dense-engine fallback on compaction overflow."""
+    def _flat_turbo_one(self, shard, tt, padded, input_size: int):
+        """Flat (pos, step, local-state) matches of ONE shard via the
+        turbo engine, with dense-engine fallback on compaction
+        overflow."""
         from phfpfac_tpu.ops.turbo_jnp import (
             expand_turbo_matches,
             scan_shard_turbo,
         )
 
         max_steps = padded_steps(self.compiled.max_pat_len)
+        res = scan_shard_turbo(
+            shard,
+            padded,
+            input_size,
+            self.config,
+            max_steps=max_steps,
+            full_steps=self.turbo_full_steps,
+            cap_frac=self.turbo_cap_frac,
+            turbo_tables=tt,
+        )
+        tail_t0 = min(self.turbo_full_steps + 1, max_steps)
+        try:
+            return expand_turbo_matches(res, input_size, tail_t0)
+        except OverflowError:
+            # adversarial survivor count: dense fallback, exact
+            rows = self._dense_rows_one_shard(shard, padded, input_size)
+            p, j = np.nonzero(rows >= 0)
+            return np.stack([p, j, rows[p, j]], axis=1).astype(np.int64)
+
+    def _match_flat_turbo(self, data: bytes, input_size: int) -> list:
+        """Per-shard flat matches via the turbo engine."""
+        max_steps = padded_steps(self.compiled.max_pat_len)
         padded = pad_input(data, _POS_PAD, max_steps)
-        flats = []
         with self.timer.phase("match"):
-            for shard, tt in zip(self.compiled.shards, self._get_turbo_tables()):
-                res = scan_shard_turbo(
-                    shard,
-                    padded,
-                    input_size,
-                    self.config,
-                    max_steps=max_steps,
-                    full_steps=self.turbo_full_steps,
-                    cap_frac=self.turbo_cap_frac,
-                    turbo_tables=tt,
+            return [
+                self._flat_turbo_one(shard, tt, padded, input_size)
+                for shard, tt in zip(
+                    self.compiled.shards, self._get_turbo_tables()
                 )
-                tail_t0 = min(self.turbo_full_steps + 1, max_steps)
-                try:
-                    flats.append(expand_turbo_matches(res, input_size, tail_t0))
-                except OverflowError:
-                    # adversarial survivor count: dense fallback, exact
-                    rows = self._dense_rows_one_shard(shard, padded, input_size)
-                    p, j = np.nonzero(rows >= 0)
-                    flats.append(
-                        np.stack([p, j, rows[p, j]], axis=1).astype(np.int64)
-                    )
-        return flats
+            ]
 
     def _dense_rows_one_shard(self, shard, padded, input_size):
         from phfpfac_tpu.ops.reference_jnp import scan_shard_jnp
@@ -172,55 +178,107 @@ class Matcher:
             rows.append(out)
         return rows
 
-    def _get_pallas_scanner(self):
-        """Fastest applicable pallas scanners: cost-planned hybrid-
-        stride kernel (alphabet <= 127, exact mode) > stride-2 pair
-        kernel (alphabet <= 63) > depth-stratified kernel (any leveled
-        automaton, max_pat_len <= 32) > fused banked-LUT multi-shard
-        kernel (anything)."""
-        if self._pallas_scanner is None:
-            if self.config.truncation != "segment":
-                for mod, cls_name in (
-                    ("phfpfac_tpu.ops.pallas_plan", "PlanShardScanner"),
-                    ("phfpfac_tpu.ops.pallas_pair", "PairShardScanner"),
-                ):
-                    try:
-                        import importlib
+    def _shard_scanner_one(self, shard):
+        """Fastest applicable bitmap scanner for ONE shard, or None.
 
-                        scanner_cls = getattr(
-                            importlib.import_module(mod), cls_name
-                        )
-                        self._pallas_scanner = (
-                            "depth",  # same per-shard bitmap protocol
-                            [
-                                scanner_cls(
-                                    sh, interpret=self.config.interpret
-                                )
-                                for sh in self.compiled.shards
-                            ],
-                        )
-                        return self._pallas_scanner
-                    except ValueError:
-                        continue  # PairUnsupported etc — expected
-                    except Exception as e:  # noqa: BLE001
-                        import warnings
+        Preference: cost-planned hybrid-stride kernel (alphabet <=
+        127, exact mode) > stride-2 pair kernel (alphabet <= 63) >
+        depth-stratified kernel (any leveled automaton, max_pat_len <=
+        32).  None = no bitmap kernel applies (e.g. patterns longer
+        than the 32-step bitmap) — the caller scans that shard with
+        the exact XLA engine instead, so a few long patterns no longer
+        force the WHOLE dictionary off the fast path.
+        """
+        import importlib
 
-                        warnings.warn(
-                            f"{cls_name} failed unexpectedly "
-                            f"({type(e).__name__}: {e}); falling back"
-                        )
-                        continue
+        makers = []
+        if self.config.truncation != "segment":
+            makers += [
+                ("phfpfac_tpu.ops.pallas_plan", "PlanShardScanner"),
+                ("phfpfac_tpu.ops.pallas_pair", "PairShardScanner"),
+            ]
+        makers.append(("phfpfac_tpu.ops.pallas_depth", "DepthShardScanner"))
+        for mod, cls_name in makers:
             try:
-                from phfpfac_tpu.ops.pallas_depth import DepthShardScanner
+                scanner_cls = getattr(importlib.import_module(mod), cls_name)
+                return scanner_cls(shard, interpret=self.config.interpret)
+            except ValueError:
+                continue  # Pair/DepthUnsupported etc — expected
+            except Exception as e:  # noqa: BLE001
+                import warnings
 
-                self._pallas_scanner = (
-                    "depth",
-                    [
-                        DepthShardScanner(sh, interpret=self.config.interpret)
-                        for sh in self.compiled.shards
-                    ],
+                warnings.warn(
+                    f"{cls_name} failed unexpectedly "
+                    f"({type(e).__name__}: {e}); falling back"
                 )
-            except Exception:  # noqa: BLE001 — DepthUnsupported
+                continue
+        return None
+
+    def _split_long_shard(self, shard):
+        """Split one shard's dictionary at the 32-byte bitmap depth.
+
+        Patterns longer than the bitmap can't ride the fast kernels;
+        splitting lets the (usually tiny) long tail pay the exact XLA
+        engine while the bulk stays on the plan/pair/depth path.  The
+        two sub-scans merge back into the ORIGINAL shard's flat
+        matches (sub-local states remapped through the subsequence
+        index), so ordering and ids downstream are untouched.
+
+        Returns (short_st, short_scanner, short_map, long_st, long_tt,
+        long_map) or None when the split doesn't apply.
+        """
+        from phfpfac_tpu.ops.pallas_scan import MAX_BITMAP_STEPS
+
+        if shard.patterns is None or shard.output_lists is not None:
+            return None
+        pats = shard.patterns
+        i_short = [i for i, p in enumerate(pats) if len(p) <= MAX_BITMAP_STEPS]
+        i_long = [i for i, p in enumerate(pats) if len(p) > MAX_BITMAP_STEPS]
+        if not i_short or not i_long:
+            return None
+
+        from phfpfac_tpu.compile.tables import _shard_to_tables
+        from phfpfac_tpu.compile.trie import build_pfac_trie
+        from phfpfac_tpu.frontend.patterns import Pattern
+
+        def build_sub(idx):
+            sub_pats = [
+                Pattern(int(shard.pattern_id_map[i]), pats[i]) for i in idx
+            ]
+            trie = build_pfac_trie(sub_pats)
+            st = _shard_to_tables(trie, None, shard.width)
+            st.patterns = [p.data for p in sub_pats]
+            return st, np.asarray(idx, dtype=np.int64)
+
+        short_st, short_map = build_sub(i_short)
+        ds = self._shard_scanner_one(short_st)
+        if ds is None:
+            return None
+        long_st, long_map = build_sub(i_long)
+        from phfpfac_tpu.ops.turbo_jnp import build_turbo_tables
+
+        return (short_st, ds, short_map, long_st,
+                build_turbo_tables(long_st), long_map)
+
+    def _get_pallas_scanner(self):
+        """Per-shard scanners (mixed engines allowed) or the fused
+        banked-LUT multi-shard kernel when NO shard has a fast path.
+
+        Per-shard entries: a bitmap scanner, ("split", parts) for a
+        long-tail split (see _split_long_shard), or None (exact XLA
+        engine for the whole shard)."""
+        if self._pallas_scanner is None:
+            per_shard = []
+            for sh in self.compiled.shards:
+                ds = self._shard_scanner_one(sh)
+                if ds is None:
+                    parts = self._split_long_shard(sh)
+                    per_shard.append(
+                        ("split", parts) if parts is not None else None
+                    )
+                else:
+                    per_shard.append(ds)
+            if all(s is None for s in per_shard):
                 from phfpfac_tpu.ops.pallas_scan import MultiShardScanner
 
                 self._pallas_scanner = (
@@ -229,6 +287,8 @@ class Matcher:
                         self.compiled.shards, interpret=self.config.interpret
                     ),
                 )
+            else:
+                self._pallas_scanner = ("depth", per_shard)
         return self._pallas_scanner
 
     def _match_flat_pallas(self, data: bytes, input_size: int) -> list:
@@ -252,16 +312,47 @@ class Matcher:
         try:
             with self.timer.phase("match"):
                 if kind == "depth":
-                    for shard, ds in zip(self.compiled.shards, scanner):
+                    turbo_tables = None
+
+                    def bitmap_flat(ds, st):
                         _cnt, b = ds.scan(
                             padded, input_size, self.config, max_steps
                         )
                         pos, hb = fetch_hit_bits(b, input_size)
-                        flats.append(
-                            decode_hits(
-                                hb, pos, data, input_size, shard, max_steps
-                            )
+                        return decode_hits(
+                            hb, pos, data, input_size, st, max_steps
                         )
+
+                    for si, (shard, entry) in enumerate(
+                        zip(self.compiled.shards, scanner)
+                    ):
+                        if entry is None:
+                            # no bitmap kernel for THIS shard: exact
+                            # XLA engine for it, fast kernels for the
+                            # rest
+                            if turbo_tables is None:
+                                turbo_tables = self._get_turbo_tables()
+                            flats.append(
+                                self._flat_turbo_one(
+                                    shard, turbo_tables[si], padded,
+                                    input_size,
+                                )
+                            )
+                        elif isinstance(entry, tuple) and entry[0] == "split":
+                            (short_st, ds, short_map, long_st, long_tt,
+                             long_map) = entry[1]
+                            ms = bitmap_flat(ds, short_st)
+                            ml = self._flat_turbo_one(
+                                long_st, long_tt, padded, input_size
+                            )
+                            # back to ORIGINAL shard-local states
+                            if ms.size:
+                                ms[:, 2] = short_map[ms[:, 2]]
+                            if ml.size:
+                                ml[:, 2] = long_map[ml[:, 2]]
+                            flats.append(np.concatenate([ms, ml]))
+                        else:
+                            flats.append(bitmap_flat(entry, shard))
                 else:
                     _cnt, bits = scanner.scan(
                         padded, input_size, self.config, max_steps

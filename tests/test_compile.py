@@ -172,3 +172,30 @@ class TestPhf:
         assert phf.num_keys == int((t.table >= 0).sum())
         assert phf.ht_size <= phf.max_offset + phf.width
         assert phf.stats_report()
+
+
+def test_save_load_lazy_phf_roundtrip(tmp_path):
+    """Format v2: a never-built PHF is not serialized; load restores
+    the lazy state and builds it on first access to the same tables."""
+    from phfpfac_tpu.compile.tables import CompiledDictionary, compile_patterns
+    from phfpfac_tpu.utils.config import PfacConfig
+
+    pats = [Pattern(i + 1, w) for i, w in enumerate(
+        [b"the", b"there", b"cat", b"dog"])]
+    cfg = PfacConfig(width=256, num_shards=1)
+    compiled = compile_patterns(pats, cfg)
+    assert not compiled.shards[0].has_phf  # lazy by default
+    path = tmp_path / "tables.npz"
+    compiled.save(path)
+    loaded = CompiledDictionary.load(path)
+    assert not loaded.shards[0].has_phf
+    # forcing the PHF on both sides yields identical tables
+    np.testing.assert_array_equal(loaded.shards[0].r, compiled.shards[0].r)
+    np.testing.assert_array_equal(loaded.shards[0].ht, compiled.shards[0].ht)
+    np.testing.assert_array_equal(loaded.shards[0].val, compiled.shards[0].val)
+    assert compiled.shards[0].has_phf
+    # saving WITH the PHF built keeps it eager through a round trip
+    compiled.save(path)
+    again = CompiledDictionary.load(path)
+    assert again.shards[0].has_phf
+    assert again.shards[0].ht_size == compiled.shards[0].ht_size

@@ -70,3 +70,54 @@ def test_wide_alphabet_s0_prologue():
     sh = _check(words, data)
     pt = build_plan_tables(sh)
     assert pt.p0_mode == "s0" and pt.code_bits == 7
+
+
+class TestLongTailSplit:
+    """Shards with >32-byte patterns split at the bitmap depth: the
+    bulk rides the fast kernels, only the long tail pays the exact XLA
+    engine (parallel.matcher._split_long_shard)."""
+
+    def test_mixed_lengths_match_oracle(self):
+        from phfpfac_tpu.parallel.matcher import Matcher
+
+        rng = np.random.default_rng(5)
+        alpha = np.frombuffer(b"abcdef ", dtype=np.uint8)
+        short = [
+            bytes(alpha[rng.integers(0, len(alpha), int(rng.integers(1, 7)))])
+            for _ in range(60)
+        ]
+        long = [
+            bytes(alpha[rng.integers(0, len(alpha), int(rng.integers(33, 48)))])
+            for _ in range(4)
+        ]
+        words = list(dict.fromkeys(short + long))
+        pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+        cfg = PfacConfig(width=256, num_shards=1, interpret=True,
+                         truncation="none")
+        compiled = compile_patterns(pats, cfg)
+        # corpus: random text with long patterns embedded (overlapping
+        # short matches inside them)
+        text = bytearray(alpha[rng.integers(0, len(alpha), 8192)])
+        for j, w in enumerate(long):
+            o = 512 * (j + 1)
+            text[o:o + len(w)] = w
+        data = bytes(text)
+        m = Matcher(compiled, cfg, engine="pallas")
+        got = [tuple(x) for x in m.match(data).tolist()]
+        kind, scanner = m._get_pallas_scanner()
+        assert kind == "depth"
+        assert isinstance(scanner[0], tuple) and scanner[0][0] == "split"
+        assert got == match_oracle(pats, data, cfg)
+
+    def test_all_long_falls_back(self):
+        from phfpfac_tpu.parallel.matcher import Matcher
+
+        words = [b"x" * 40, b"y" * 50]
+        pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+        cfg = PfacConfig(width=256, num_shards=1, interpret=True,
+                         truncation="none")
+        compiled = compile_patterns(pats, cfg)
+        data = b"x" * 45 + b"z" + b"y" * 55
+        m = Matcher(compiled, cfg, engine="pallas")
+        got = [tuple(x) for x in m.match(data).tolist()]
+        assert got == match_oracle(pats, data, cfg)
