@@ -164,25 +164,52 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
                 banks=banks,
             )
 
+    # The plan-wide miss sentinel is all-ones in the narrowest value
+    # field among the kinds USED, so its width depends on whether any
+    # pair step is chosen — and every table (mono included) must fit
+    # under it.  Run the DP under both scenarios and keep the cheaper
+    # feasible plan; large-alphabet dictionaries whose tables overflow
+    # the narrow pair-width sentinel legitimately go all-mono.
     INF = float("inf")
-    cost = [0.0] * (D + 2)
-    choice = [None] * (D + 1)
-    for d in range(D - 1, d_lo - 1, -1):
-        m = 4.0 * mono_cand[d]["banks"] + _FIX_MONO + cost[d + 1]
-        p = INF
-        if d in pair_cand:
-            p = 4.0 * pair_cand[d]["banks"] + _FIX_PAIR + cost[d + 2]
-        if p <= m:
-            cost[d], choice[d] = p, "pair"
-        else:
-            cost[d], choice[d] = m, "mono"
+    miss_pair_w = (1 << (31 - (2 * cb + 1))) - 1
+    miss_mono_w = (1 << (31 - (cb + 1))) - 1
 
-    plan_kinds: list[tuple] = []  # (kind, start_depth)
-    d = d_lo
-    while d < D:
-        k = choice[d] or "mono"
-        plan_kinds.append((k, d))
-        d += 2 if k == "pair" else 1
+    def run_dp(use_pair: bool):
+        miss_w = miss_pair_w if use_pair else miss_mono_w
+        cost = [0.0] * (D + 2)
+        choice = [None] * (D + 1)
+        for d in range(D - 1, d_lo - 1, -1):
+            m = p = INF
+            mc = mono_cand[d]
+            if mc["ht_len"] + mono_span <= miss_w and cost[d + 1] < INF:
+                m = 4.0 * mc["banks"] + _FIX_MONO + cost[d + 1]
+            if use_pair and d in pair_cand:
+                pc = pair_cand[d]
+                if (pc["ht_len"] + pair_span <= miss_w
+                        and cost[d + 2] < INF):
+                    p = 4.0 * pc["banks"] + _FIX_PAIR + cost[d + 2]
+            if p <= m:
+                cost[d], choice[d] = p, "pair"
+            else:
+                cost[d], choice[d] = m, "mono"
+        if cost[d_lo] >= INF:
+            return None
+        kinds = []
+        d = d_lo
+        while d < D:
+            k = choice[d] or "mono"
+            kinds.append((k, d))
+            d += 2 if k == "pair" else 1
+        return cost[d_lo], kinds
+
+    best = None
+    for use_pair in (True, False):
+        res = run_dp(use_pair)
+        if res and (best is None or res[0] < best[0]):
+            best = res
+    if best is None:
+        raise PairUnsupported("tables too large for the miss sentinel")
+    plan_kinds = best[1]
 
     # ONE dead sentinel for the whole plan: all-ones in the narrowest
     # value field among the kinds actually chosen.  Every table must
