@@ -92,8 +92,10 @@ class ShardTables:
             # buffer so device gathers stay in bounds
             phf.ht = np.full(1, -1, dtype=np.int32)
             phf.val = np.full(1, -1, dtype=np.int32)
-        self._r, self._ht, self._val = phf.r, phf.ht, phf.val
-        self._ht_size = phf.ht_size
+        # _r is the presence gate (has_phf): assign it LAST so a
+        # concurrent reader that sees it also sees the other fields
+        self._ht, self._val, self._ht_size = phf.ht, phf.val, phf.ht_size
+        self._r = phf.r
 
     @property
     def r(self) -> np.ndarray:
