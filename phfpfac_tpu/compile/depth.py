@@ -483,7 +483,7 @@ def build_depth_tables(
     if shard.state_num <= init:
         raise DepthUnsupported("degenerate automaton")
     dense = shard.dense_table()
-    dense[init] = shard.s0  # identical by construction; be explicit  # identical by construction; be explicit
+    dense[init] = shard.s0  # identical by construction; be explicit
     levels = _bfs_levels(dense, init)
     D = len(levels)
     if D == 0:

@@ -312,8 +312,6 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
     pair_miss = (1 << (31 - val_shift)) - 1
     joins = [_pair_join(lv, 2 * k - 1, code_of, cb) for k in range(1, K + 1)]
 
-
-
     # ---- layouts (deep -> shallow so next-step disps are known) ----------
     offsets_k: list[np.ndarray] = [None] * (K + 1)  # 1-based
     ht_lens: list[int] = [0] * (K + 1)

@@ -68,15 +68,17 @@ from phfpfac_tpu.compile.tables import ShardTables
 
 _LANE = 128
 
-# Step fixed-cost estimates in vector ops (DP weights).  Measured on
-# v5e: each unrolled step costs ~160 vops of fixed overhead (window
-# advance, early-exit reduce + carry copy, scheduling), far above the
-# naive op count — so a pair step must save ~40 banks over two mono
-# steps before mono wins.  On the English dictionary this reproduces
-# the all-pair plan; heavily suffix-duplicating dictionaries flip
-# individual depths to mono.
-_FIX_MONO = 160.0
-_FIX_PAIR = 160.0
+# Step fixed-cost estimate in vector ops (DP weight).  Calibrated on
+# v5e by A/B of forced plans (english 32 MiB): all-pair (154 banks, 9
+# steps) 1.14 GB/s vs all-mono (144 banks, 18 steps) 0.84 GB/s fits
+# an EFFECTIVE ~45 vops/step — far below a naive estimate because the
+# cell-level early exit skips most deep steps.  Any F in [25, 80]
+# yields the same (measured-best) english plan; 60 is the midpoint.
+# Lower F also correctly biases bank-heavy dictionaries (the 160k-
+# title dict) toward mono, matching measurement (mixed-pair plan
+# 0.202 GB/s vs all-mono 0.212 / depth kernel 0.214).
+_FIX_MONO = 60.0
+_FIX_PAIR = 60.0
 
 
 @dataclass(frozen=True)
@@ -136,33 +138,69 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     p0_mode = "dense" if pair_span <= 4096 else "s0"
 
     # ---- exact-cost DP over step kinds ------------------------------------
-    # The native layout is fast enough to lay out BOTH candidates at
-    # every depth and price the DP on the ACTUAL post-trim bank counts
-    # the kernel will probe (4 vops/bank, _lut), not utilization
-    # estimates.  Candidate layouts are cached and reused by the fill.
+    # With the native layout, BOTH candidates are laid out at every
+    # depth and the DP prices the ACTUAL post-trim bank counts the
+    # kernel will probe (4 vops/bank, _lut); the layouts are cached
+    # and reused by the fill.  On the NumPy fallback path laying out
+    # twice per depth would dominate compile time, so the DP prices
+    # utilization ESTIMATES there and only the chosen steps are laid
+    # out afterwards (_materialize).
+    from phfpfac_tpu.compile import native
     from phfpfac_tpu.compile.depth import _layout_banks
 
+    exact = native.available()
     mono_cand: dict = {}  # d -> dict(offsets, ht_len, cols, banks)
     pair_cand: dict = {}  # d -> dict(offsets, ht_len, join, nib, banks)
     d_lo = 2 if p0_mode == "dense" else 1
     for d in range(d_lo, D):
         li = d - 1
         cols = code_of[lv.tr_cols[li]].astype(np.int64)
-        offsets, ht_len = _layout_csr(lv.tr_offs[li], cols, colspan=mono_span)
-        mono_cand[d] = dict(
-            offsets=offsets, ht_len=ht_len, cols=cols,
-            banks=_layout_banks(offsets, lv.tr_offs[li], cols),
-        )
+        mono_cand[d] = dict(cols=cols)
+        if exact:
+            offsets, ht_len = _layout_csr(
+                lv.tr_offs[li], cols, colspan=mono_span
+            )
+            mono_cand[d].update(
+                offsets=offsets, ht_len=ht_len,
+                banks=_layout_banks(offsets, lv.tr_offs[li], cols),
+            )
+        else:
+            est_len = int(len(cols) / 0.8) + 1
+            mono_cand[d].update(ht_len=est_len, banks=est_len / 128.0)
         if li + 1 <= D - 1:  # a pair step needs an odd level to fuse
             join = _pair_join(lv, li, code_of, cb)
             p_offs, pair, _end, s_offs, side = join
-            offsets, ht_len, nib, banks = _layout_pair_step(
+            pair_cand[d] = dict(join=join)
+            if exact:
+                offsets, ht_len, nib, banks = _layout_pair_step(
+                    p_offs, pair, s_offs, side, pair_span, mono_span
+                )
+                pair_cand[d].update(
+                    offsets=offsets, ht_len=ht_len, nib=nib, banks=banks,
+                )
+            else:
+                est_len = int(len(pair) / 0.5) + 1
+                pair_cand[d].update(
+                    ht_len=est_len, nib=False,
+                    banks=(est_len + est_len / 4.0) / 128.0,
+                )
+
+    def _materialize(kind: str, d: int) -> None:
+        """Lay out a DP-chosen candidate that was only estimated."""
+        c = mono_cand[d] if kind == "mono" else pair_cand[d]
+        if "offsets" in c:
+            return
+        if kind == "mono":
+            offsets, ht_len = _layout_csr(
+                lv.tr_offs[d - 1], c["cols"], colspan=mono_span
+            )
+            c.update(offsets=offsets, ht_len=ht_len)
+        else:
+            p_offs, pair, _end, s_offs, side = c["join"]
+            offsets, ht_len, nib, _banks = _layout_pair_step(
                 p_offs, pair, s_offs, side, pair_span, mono_span
             )
-            pair_cand[d] = dict(
-                offsets=offsets, ht_len=ht_len, join=join, nib=nib,
-                banks=banks,
-            )
+            c.update(offsets=offsets, ht_len=ht_len, nib=nib)
 
     # The plan-wide miss sentinel is all-ones in the narrowest value
     # field among the kinds USED, so its width depends on whether any
@@ -237,6 +275,7 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
 
     for i in range(len(plan_kinds) - 1, -1, -1):
         kind, d = plan_kinds[i]
+        _materialize(kind, d)
         if kind == "mono":
             c = mono_cand[d]
             disp_of[i] = c["offsets"]

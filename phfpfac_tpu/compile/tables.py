@@ -69,7 +69,11 @@ class ShardTables:
         self.output_lists = output_lists
         self._r, self._ht, self._val, self._ht_size = r, ht, val, ht_size
         self._dense = dense
-        if r is None and dense is None and patterns is None:
+        if r is None and dense is None and (
+            patterns is None or output_lists is not None
+        ):
+            # charset shards (output_lists) cannot rebuild their DFA
+            # from raw patterns — they must come with a PHF or dense
             raise ValueError("need a PHF, a dense table, or patterns")
 
     @property
@@ -122,14 +126,22 @@ class ShardTables:
     def dense_table(self) -> np.ndarray:
         """The dense int32 [state_num, 256] transition table.
 
-        Priority: the cached trie table (set at compile time) >
-        rebuild from the stored sorted patterns (native trie build) >
-        invert the PHF (loaded-from-disk dictionaries; see
-        compile.depth._reconstruct_dense).
+        Priority: the cached trie table (set at compile time) > invert
+        an already-built PHF (O(ht_size), vectorized — loaded-from-
+        disk dictionaries; compile.depth._reconstruct_dense) > rebuild
+        the trie from the stored sorted patterns.
+
+        The result is CACHED for the shard's lifetime (bitmap decode
+        re-walks hit positions through it on every match when the PHF
+        is lazy) — ~1 KB/state of host RAM at Snort scale.
         """
         if self._dense is not None:
             return self._dense
-        if self.patterns is not None and self.output_lists is None:
+        if self.has_phf:
+            from phfpfac_tpu.compile.depth import _reconstruct_dense
+
+            self._dense = _reconstruct_dense(self)
+        else:
             from phfpfac_tpu.compile.trie import build_pfac_trie
             from phfpfac_tpu.frontend.patterns import Pattern
 
@@ -137,10 +149,6 @@ class ShardTables:
                 [Pattern(i + 1, p) for i, p in enumerate(self.patterns)]
             )
             self._dense = trie.table
-        else:
-            from phfpfac_tpu.compile.depth import _reconstruct_dense
-
-            self._dense = _reconstruct_dense(self)
         return self._dense
 
     def drop_dense(self) -> None:

@@ -63,6 +63,7 @@ class Matcher:
         self.turbo_cap_frac = turbo_cap_frac
         self._turbo_tables = None
         self._pallas_scanner = None
+        self._solo_turbo = {}  # shard idx -> turbo tables (mixed path)
 
     def _get_turbo_tables(self):
         if self._turbo_tables is None:
@@ -257,8 +258,12 @@ class Matcher:
         long_st, long_map = build_sub(i_long)
         from phfpfac_tpu.ops.turbo_jnp import build_turbo_tables
 
-        return (short_st, ds, short_map, long_st,
-                build_turbo_tables(long_st), long_map)
+        long_tt = build_turbo_tables(long_st)
+        # the ORIGINAL shard is never scanned after a split — release
+        # its dense-trie cache (~1 KB/state); the sub-shards keep
+        # theirs for bitmap decode
+        shard.drop_dense()
+        return (short_st, ds, short_map, long_st, long_tt, long_map)
 
     def _get_pallas_scanner(self):
         """Per-shard scanners (mixed engines allowed) or the fused
@@ -312,8 +317,6 @@ class Matcher:
         try:
             with self.timer.phase("match"):
                 if kind == "depth":
-                    turbo_tables = None
-
                     def bitmap_flat(ds, st):
                         _cnt, b = ds.scan(
                             padded, input_size, self.config, max_steps
@@ -329,12 +332,20 @@ class Matcher:
                         if entry is None:
                             # no bitmap kernel for THIS shard: exact
                             # XLA engine for it, fast kernels for the
-                            # rest
-                            if turbo_tables is None:
-                                turbo_tables = self._get_turbo_tables()
+                            # rest.  Tables built for THIS shard only
+                            # (a full _get_turbo_tables would force
+                            # the lazy PHF on every shard)
+                            if si not in self._solo_turbo:
+                                from phfpfac_tpu.ops.turbo_jnp import (
+                                    build_turbo_tables,
+                                )
+
+                                self._solo_turbo[si] = build_turbo_tables(
+                                    shard
+                                )
                             flats.append(
                                 self._flat_turbo_one(
-                                    shard, turbo_tables[si], padded,
+                                    shard, self._solo_turbo[si], padded,
                                     input_size,
                                 )
                             )
