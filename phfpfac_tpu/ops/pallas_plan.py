@@ -31,6 +31,7 @@ def _make_plan_kernel(
     steps: tuple,  # tuple[StepSpec]
     nb_p0: int, cb: int, p0_miss: int, p0_mode: str,
     emit_bitmap: bool, tiles_per_cell: int, cond_from: int,
+    tile_major: bool = False,
 ):
     from jax.experimental import pallas as pl
 
@@ -96,116 +97,148 @@ def _make_plan_kernel(
                 )
             curs.append(cur)
 
-        # count mode excludes the bitmap tiles from the carry —
-        # lax.cond copies every carried vreg on a skipped step
-        carry = (tuple(curs), tuple(disps), tuple(cnts)) + (
-            (tuple(bitss),) if emit_bitmap else ()
-        )
+        # per-step window geometry (lane roll + boundary-column refill)
+        geoms = []
         offset = 0
-        for si, sp in enumerate(steps):
+        for sp in steps:
             n_adv = (sp.depth0 - 1) - offset  # chars to advance (1 or 2)
             offset = sp.depth0 - 1
-            lane_next = (lane + n_adv) & (_LANE - 1)
-            at_tail = lane >= (_LANE - n_adv)
-            bcol_idx = (jnp.broadcast_to(
-                jnp.int32(offset - _LANE), (_SUB, _LANE)
-            ) + lane) & (_LANE - 1)
+            geoms.append((
+                (lane + n_adv) & (_LANE - 1),          # lane_next
+                lane >= (_LANE - n_adv),                # at_tail
+                (jnp.broadcast_to(                      # bcol_idx
+                    jnp.int32(offset - _LANE), (_SUB, _LANE)
+                ) + lane) & (_LANE - 1),
+            ))
 
-            def step(carry, sp=sp, lane_next=lane_next, at_tail=at_tail,
-                     bcol_idx=bcol_idx):
-                curs, disps, cnts = (
-                    list(carry[0]), list(carry[1]), list(carry[2])
+        def tile_step(sp, geom, b_i, cur, disp, cnt, bits):
+            """One walk step for ONE (8,128) tile; returns the new
+            (cur, disp, cnt, bits)."""
+            lane_next, at_tail, bcol_idx = geom
+            rolled = jnp.take_along_axis(cur, lane_next, axis=1)
+            bcol = jnp.take_along_axis(b_i, bcol_idx, axis=1)
+            cur = jnp.where(at_tail, bcol, rolled)
+            bit0 = sp.depth0 - 1
+            if sp.kind == "mono":
+                sym = cur & cbm
+                idx = disp + sym
+                g = _lut(m_ref, idx, sp.nb, sp.off, sp.k0)
+                hit = (g >= 0) & ((g & cbm) == sym)
+                fin = hit & ((g & (1 << cb)) != 0)
+                cnt = cnt + fin.astype(jnp.int32)
+                if emit_bitmap:
+                    bits = bits | jnp.where(fin, jnp.int32(1) << bit0, 0)
+                disp = jnp.where(
+                    hit, jax.lax.shift_right_logical(g, cb + 1), sp.miss
                 )
-                bitss = list(carry[3]) if emit_bitmap else None
-                for i in range(tpc):
-                    rolled = jnp.take_along_axis(curs[i], lane_next, axis=1)
-                    bcol = jnp.take_along_axis(b_s[i], bcol_idx, axis=1)
-                    cur = jnp.where(at_tail, bcol, rolled)
-                    disp = disps[i]
-                    bit0 = sp.depth0 - 1
-                    if sp.kind == "mono":
-                        sym = cur & cbm
-                        idx = disp + sym
-                        g = _lut(m_ref, idx, sp.nb, sp.off, sp.k0)
-                        hit = (g >= 0) & ((g & cbm) == sym)
-                        fin = hit & ((g & (1 << cb)) != 0)
-                        cnts[i] = cnts[i] + fin.astype(jnp.int32)
-                        if emit_bitmap:
-                            bitss[i] = bitss[i] | jnp.where(
-                                fin, jnp.int32(1) << bit0, 0
-                            )
-                        disps[i] = jnp.where(
-                            hit,
-                            jax.lax.shift_right_logical(g, cb + 1),
-                            sp.miss,
-                        )
-                    else:
-                        # nibble side entries store (code & 7) + 1 —
-                        # sound via the layout's mod-8 anti-aliasing
-                        a1 = cur & cbm
-                        sidx = disp + a1
-                        if sp.s_nibble:
-                            w = _lut(
-                                s_ref,
-                                jax.lax.shift_right_logical(sidx, 3),
-                                sp.s_nb, sp.s_off, sp.s_k0,
-                            )
-                            nib = (
-                                jax.lax.shift_right_logical(
-                                    w, (sidx & 7) << 2
-                                )
-                            ) & 15
-                            fin_mid = nib == (a1 & 7) + 1
-                        else:
-                            w = _lut(
-                                s_ref,
-                                jax.lax.shift_right_logical(sidx, 2),
-                                sp.s_nb, sp.s_off, sp.s_k0,
-                            )
-                            byte = (
-                                jax.lax.shift_right_logical(
-                                    w, (sidx & 3) << 3
-                                )
-                            ) & 255
-                            fin_mid = byte == a1 + 1
-                        idx = disp + cur
-                        g = _lut(m_ref, idx, sp.nb, sp.off, sp.k0)
-                        hit = (g >= 0) & ((g & pair_mask) == cur)
-                        fin_end = hit & ((g & (1 << (2 * cb))) != 0)
-                        cnts[i] = (
-                            cnts[i]
-                            + fin_mid.astype(jnp.int32)
-                            + fin_end.astype(jnp.int32)
-                        )
-                        if emit_bitmap:
-                            bitss[i] = (
-                                bitss[i]
-                                | jnp.where(fin_mid, jnp.int32(1) << bit0, 0)
-                                | jnp.where(
-                                    fin_end, jnp.int32(1) << (bit0 + 1), 0
-                                )
-                            )
-                        disps[i] = jnp.where(
-                            hit,
-                            jax.lax.shift_right_logical(g, 2 * cb + 1),
-                            sp.miss,
-                        )
-                    curs[i] = cur
-                out = (tuple(curs), tuple(disps), tuple(cnts))
-                return out + ((tuple(bitss),) if emit_bitmap else ())
-
-            if si < cond_from:
-                carry = step(carry)
             else:
-                # p0_miss is the plan-wide sentinel: valid whether the
-                # previous step ran or was itself skipped
-                alive = carry[1][0] != p0_miss
-                for dsp in carry[1][1:]:
-                    alive = alive | (dsp != p0_miss)
-                carry = jax.lax.cond(jnp.any(alive), step, lambda c: c, carry)
+                # nibble side entries store (code & 7) + 1 — sound via
+                # the layout's mod-8 anti-aliasing
+                a1 = cur & cbm
+                sidx = disp + a1
+                if sp.s_nibble:
+                    w = _lut(
+                        s_ref, jax.lax.shift_right_logical(sidx, 3),
+                        sp.s_nb, sp.s_off, sp.s_k0,
+                    )
+                    nib = (
+                        jax.lax.shift_right_logical(w, (sidx & 7) << 2)
+                    ) & 15
+                    fin_mid = nib == (a1 & 7) + 1
+                else:
+                    w = _lut(
+                        s_ref, jax.lax.shift_right_logical(sidx, 2),
+                        sp.s_nb, sp.s_off, sp.s_k0,
+                    )
+                    byte = (
+                        jax.lax.shift_right_logical(w, (sidx & 3) << 3)
+                    ) & 255
+                    fin_mid = byte == a1 + 1
+                idx = disp + cur
+                g = _lut(m_ref, idx, sp.nb, sp.off, sp.k0)
+                hit = (g >= 0) & ((g & pair_mask) == cur)
+                fin_end = hit & ((g & (1 << (2 * cb))) != 0)
+                cnt = (
+                    cnt + fin_mid.astype(jnp.int32)
+                    + fin_end.astype(jnp.int32)
+                )
+                if emit_bitmap:
+                    bits = (
+                        bits
+                        | jnp.where(fin_mid, jnp.int32(1) << bit0, 0)
+                        | jnp.where(fin_end, jnp.int32(1) << (bit0 + 1), 0)
+                    )
+                disp = jnp.where(
+                    hit, jax.lax.shift_right_logical(g, 2 * cb + 1), sp.miss
+                )
+            return cur, disp, cnt, bits
 
-        cnts = carry[2]
-        bitss = carry[3] if emit_bitmap else None
+        if tile_major:
+            # steps INNER, tiles outer: one tile's carry stays live
+            # through the walk and the early exit is per 1024-position
+            # tile.  MEASURED SLOWER on v5e (english 32 MiB: 0.57 vs
+            # 1.12 GB/s, and 4x the Mosaic compile time) — the per-
+            # tile conds and per-tile bank reloads cost more than the
+            # big-carry scheduling they replace.  Kept as an
+            # experiment knob; default stays step-major.
+            cnts_o, bitss_o = [], []
+            for i in range(tpc):
+                c = (curs[i], disps[i], cnts[i]) + (
+                    (bitss[i],) if emit_bitmap else ()
+                )
+                for si, sp in enumerate(steps):
+                    def body(c, sp=sp, g=geoms[si], i=i):
+                        r = tile_step(
+                            sp, g, b_s[i], c[0], c[1], c[2],
+                            c[3] if emit_bitmap else None,
+                        )
+                        return r[:4] if emit_bitmap else r[:3]
+
+                    if si < cond_from:
+                        c = body(c)
+                    else:
+                        c = jax.lax.cond(
+                            jnp.any(c[1] != p0_miss), body, lambda c: c, c
+                        )
+                cnts_o.append(c[2])
+                bitss_o.append(c[3] if emit_bitmap else None)
+            cnts, bitss = cnts_o, bitss_o
+        else:
+            carry = (tuple(curs), tuple(disps), tuple(cnts)) + (
+                (tuple(bitss),) if emit_bitmap else ()
+            )
+            # count mode excludes the bitmap tiles from the carry —
+            # lax.cond copies every carried vreg on a skipped step
+            for si, sp in enumerate(steps):
+                def step(carry, sp=sp, g=geoms[si]):
+                    curs, disps, cnts = (
+                        list(carry[0]), list(carry[1]), list(carry[2])
+                    )
+                    bitss = list(carry[3]) if emit_bitmap else None
+                    for i in range(tpc):
+                        r = tile_step(
+                            sp, g, b_s[i], curs[i], disps[i], cnts[i],
+                            bitss[i] if emit_bitmap else None,
+                        )
+                        curs[i], disps[i], cnts[i] = r[0], r[1], r[2]
+                        if emit_bitmap:
+                            bitss[i] = r[3]
+                    out = (tuple(curs), tuple(disps), tuple(cnts))
+                    return out + ((tuple(bitss),) if emit_bitmap else ())
+
+                if si < cond_from:
+                    carry = step(carry)
+                else:
+                    # p0_miss is the plan-wide sentinel: valid whether
+                    # the previous step ran or was itself skipped
+                    alive = carry[1][0] != p0_miss
+                    for dsp in carry[1][1:]:
+                        alive = alive | (dsp != p0_miss)
+                    carry = jax.lax.cond(
+                        jnp.any(alive), step, lambda c: c, carry
+                    )
+            cnts = carry[2]
+            bitss = carry[3] if emit_bitmap else None
         if emit_bitmap:
             cnt_ref, bits_ref = out_refs
             for i in range(tpc):
@@ -224,7 +257,7 @@ def _make_plan_kernel(
 
 _STATICS = (
     "steps", "nb_p0", "cb", "p0_miss", "p0_mode", "interpret", "tpc",
-    "cond_from",
+    "cond_from", "tile_major",
 )
 
 
@@ -246,6 +279,7 @@ def _specs(tpc):
 def _plan_scan_bitmap(
     data2d, s0_dummy, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
+    tile_major=False,
 ):
     from jax.experimental import pallas as pl
 
@@ -253,6 +287,7 @@ def _plan_scan_bitmap(
     kernel = _make_plan_kernel(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=True, tiles_per_cell=tpc, cond_from=cond_from,
+        tile_major=tile_major,
     )
     rows_pc = tpc * _SUB
     cnt, bits = pl.pallas_call(
@@ -276,6 +311,7 @@ def _plan_scan_bitmap(
 def _plan_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
+    tile_major=False,
 ):
     from jax.experimental import pallas as pl
 
@@ -283,6 +319,7 @@ def _plan_scan_count(
     kernel = _make_plan_kernel(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=False, tiles_per_cell=tpc, cond_from=cond_from,
+        tile_major=tile_major,
     )
     partial = pl.pallas_call(
         kernel,
@@ -299,12 +336,14 @@ class PlanShardScanner:
     """Bitmap-mode hybrid-stride scanner for one shard (exact mode)."""
 
     def __init__(self, shard: ShardTables, *, interpret: bool = False,
-                 tpc: int = 32, cond_from: int = 4):
+                 tpc: int = 32, cond_from: int = 4,
+                 tile_major: bool = False):
         self.pt: PlanTables = build_plan_tables(shard)
         self.shard = shard
         self.interpret = interpret
         self.tpc = tpc
         self.cond_from = cond_from
+        self.tile_major = tile_major
         self._code = jnp.asarray(self.pt.code_of)
 
     def _statics(self):
@@ -313,7 +352,7 @@ class PlanShardScanner:
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
             interpret=self.interpret, tpc=self.tpc,
-            cond_from=self.cond_from,
+            cond_from=self.cond_from, tile_major=self.tile_major,
         )
 
     def scan(self, data_padded, input_size, cfg, max_steps):
@@ -337,12 +376,14 @@ class PlanCountScan:
     """Count-mode hybrid-stride scan (bench protocol: prepare + scan)."""
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
-                 interpret: bool = False, tpc: int = 32, cond_from: int = 4):
+                 interpret: bool = False, tpc: int = 32, cond_from: int = 4,
+                 tile_major: bool = False):
         self.pt = build_plan_tables(shard)
         self.max_steps = max_steps
         self.interpret = interpret
         self.tpc = tpc
         self.cond_from = cond_from
+        self.tile_major = tile_major
         self._code = jnp.asarray(self.pt.code_of)
         self._p0 = jnp.asarray(self.pt.p0_banks)
         self._m = jnp.asarray(self.pt.packed_banks)
@@ -363,7 +404,7 @@ class PlanCountScan:
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
             interpret=self.interpret, tpc=self.tpc,
-            cond_from=self.cond_from,
+            cond_from=self.cond_from, tile_major=self.tile_major,
         )
 
     def __call__(self, data_padded, input_size, shift):

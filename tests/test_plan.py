@@ -121,3 +121,31 @@ class TestLongTailSplit:
         m = Matcher(compiled, cfg, engine="pallas")
         got = [tuple(x) for x in m.match(data).tolist()]
         assert got == match_oracle(pats, data, cfg)
+
+
+def test_tile_major_variant_parity():
+    """The tile-major kernel ordering (experiment knob) must produce
+    identical counts/bitmaps to the default step-major ordering."""
+    from phfpfac_tpu.ops.pallas_plan import PlanShardScanner
+
+    rng = np.random.default_rng(17)
+    alpha = np.frombuffer(b"abcde .", dtype=np.uint8)
+    words = list(dict.fromkeys(
+        bytes(alpha[rng.integers(0, len(alpha), int(rng.integers(1, 8)))])
+        for _ in range(120)))
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    cfg = PfacConfig(width=256, num_shards=1, truncation="none")
+    compiled = compile_patterns(pats, cfg)
+    sh = compiled.shards[0]
+    data = bytes(alpha[rng.integers(0, len(alpha), 8192)])
+    ms = padded_steps(compiled.max_pat_len)
+    padded = pad_input(data, 1024, ms)
+    n = len(data)
+    c1, b1 = map(np.asarray,
+                 PlanShardScanner(sh, interpret=True).scan(padded, n, cfg, ms))
+    c2, b2 = map(np.asarray,
+                 PlanShardScanner(sh, interpret=True, tile_major=True)
+                 .scan(padded, n, cfg, ms))
+    np.testing.assert_array_equal(c1[:n], c2[:n])
+    np.testing.assert_array_equal(b1[:n], b2[:n])
+    assert c1[:n].sum() == len(match_oracle(pats, data, cfg))
