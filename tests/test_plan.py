@@ -149,3 +149,31 @@ def test_tile_major_variant_parity():
     np.testing.assert_array_equal(c1[:n], c2[:n])
     np.testing.assert_array_equal(b1[:n], b2[:n])
     assert c1[:n].sum() == len(match_oracle(pats, data, cfg))
+
+
+def test_wide_alphabet_sentinel_overflow_goes_mono():
+    """A wide-alphabet dictionary whose pair tables would overflow the
+    narrow pair-width miss sentinel must still plan (mono steps for
+    the overflowing depths) rather than raise — the DP runs under both
+    sentinel scenarios."""
+    rng = np.random.default_rng(2)
+    alpha = np.arange(32, 112, dtype=np.uint8)  # sigma ~80 -> cb=7
+    words = list(dict.fromkeys(
+        bytes(alpha[rng.integers(0, len(alpha), 3)]) for _ in range(30000)
+    ))
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    cfg = PfacConfig(width=4096, num_shards=1, truncation="none")
+    compiled = compile_patterns(pats, cfg)
+    pt = build_plan_tables(compiled.shards[0])
+    # every table must sit strictly below the plan's sentinel
+    miss = pt.p0_miss
+    for s in pt.steps:
+        assert s.nb * 128 < miss
+    # correctness spot check vs the oracle on a small corpus
+    data = bytes(alpha[rng.integers(0, len(alpha), 4096)])
+    from phfpfac_tpu.ops.pallas_plan import PlanShardScanner
+    ms = padded_steps(compiled.max_pat_len)
+    padded = pad_input(data, 1024, ms)
+    cnt, _bits = map(np.asarray, PlanShardScanner(
+        compiled.shards[0], interpret=True).scan(padded, len(data), cfg, ms))
+    assert cnt[:len(data)].sum() == len(match_oracle(pats, data, cfg))
