@@ -295,6 +295,13 @@ int64_t pfac_minimize_levels(const int32_t* dense, int64_t state_num,
 //                         would alias one of its probes; (2) placing
 //                         new side slots checks used_off at every
 //                         aliasing probe origin.
+//   priority:             int64 [n] or null.  When set, rows are
+//                         placed in DESCENDING priority order (ties:
+//                         descending count) — the profile-guided
+//                         layout: hot rows land at low displacements
+//                         so the kernel's grouped bank scan stops
+//                         early.  Null keeps the classic
+//                         first-fit-descending-count order.
 //   out_offsets:          int64 [n]; rows with no placement get `empty`.
 //
 // Returns ht_len (>= 1), or -1 on overflow (caller doubles cap).
@@ -305,11 +312,14 @@ int64_t pfac_layout_distinct(const int64_t* cols_blob,
                              const uint8_t* force, int64_t colspan,
                              int64_t cap, int64_t empty,
                              int64_t side_alias_mask, int64_t side_span,
+                             const int64_t* priority,
                              int64_t* out_offsets) {
-  // stable descending main-column count
+  // stable descending (priority,) main-column count
   std::vector<int32_t> order(n);
   for (int64_t i = 0; i < n; ++i) order[i] = static_cast<int32_t>(i);
   std::stable_sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    if (priority != nullptr && priority[a] != priority[b])
+      return priority[a] > priority[b];
     return (cols_offs[a + 1] - cols_offs[a]) >
            (cols_offs[b + 1] - cols_offs[b]);
   });

@@ -128,6 +128,7 @@ def _layout_distinct(
     cols_list: list[np.ndarray], cap: int, *, colspan: int = 256,
     force_offset: np.ndarray | None = None,
     side_cols_list: list[np.ndarray] | None = None,
+    priority: np.ndarray | None = None,
 ) -> tuple:
     """First-fit-descending row displacement with DISTINCT offsets.
 
@@ -148,7 +149,10 @@ def _layout_distinct(
     """
     n = len(cols_list)
     counts = np.array([len(c) for c in cols_list], dtype=np.int64)
-    order = np.argsort(-counts, kind="stable")
+    if priority is not None:
+        order = np.lexsort((-counts, -np.asarray(priority, np.int64)))
+    else:
+        order = np.argsort(-counts, kind="stable")
     occ = np.zeros(cap + 3 * colspan, dtype=bool)
     side_occ = np.zeros(cap + 3 * colspan, dtype=bool)
     used_off = np.zeros(cap + 2 * colspan, dtype=bool)  # off + colspan
@@ -224,6 +228,7 @@ def _layout_with_growth(
     cols_list: list[np.ndarray], *, colspan: int = 256,
     force_offset: np.ndarray | None = None,
     side_cols_list: list[np.ndarray] | None = None,
+    priority: np.ndarray | None = None,
 ) -> tuple:
     total = int(sum(len(c) for c in cols_list)) + len(cols_list)
     if side_cols_list is not None:
@@ -233,7 +238,7 @@ def _layout_with_growth(
         try:
             return _layout_distinct(
                 cols_list, cap, colspan=colspan, force_offset=force_offset,
-                side_cols_list=side_cols_list,
+                side_cols_list=side_cols_list, priority=priority,
             )
         except RuntimeError:
             cap *= 2
@@ -248,6 +253,7 @@ def _layout_csr(
     side_blob: np.ndarray | None = None,
     side_alias_mask: int = 0,
     side_span: int = 0,
+    priority: np.ndarray | None = None,
 ) -> tuple:
     """CSR-form distinct-offset layout with capacity growth.
 
@@ -271,6 +277,7 @@ def _layout_csr(
                 force_offset=force_offset, side_offs=side_offs,
                 side_blob=side_blob, empty=_EMPTY,
                 side_alias_mask=side_alias_mask, side_span=side_span,
+                priority=priority,
             )
             if res is not None:
                 return res
@@ -293,7 +300,7 @@ def _layout_csr(
         ]
     return _layout_with_growth(
         cols_list, colspan=colspan, force_offset=force_offset,
-        side_cols_list=side_list,
+        side_cols_list=side_list, priority=priority,
     )
 
 
@@ -350,12 +357,20 @@ class Levels:
     tr_cols: list
     tr_child: list
     s0_class: dict
+    levels: list = None  # per level: state ids (for corpus profiling)
+    inv: list = None  # per level: class of each level-state
 
     def counts(self, li: int) -> np.ndarray:
         return self.tr_offs[li][1:] - self.tr_offs[li][:-1]
 
     def n_classes(self, li: int) -> int:
         return len(self.fin[li])
+
+    def class_map(self, li: int, state_num: int) -> np.ndarray:
+        """int32 [state_num]: state -> class at level li (-1 outside)."""
+        m = np.full(state_num, -1, dtype=np.int32)
+        m[self.levels[li]] = self.inv[li]
+        return m
 
 
 def _levels_from_partition(
@@ -401,7 +416,7 @@ def _levels_from_partition(
     }
     return Levels(
         D=D, fin=fin_l, tr_offs=offs_l, tr_cols=cols_l, tr_child=child_l,
-        s0_class=s0_class,
+        s0_class=s0_class, levels=levels, inv=inv_by_level,
     )
 
 
@@ -460,6 +475,53 @@ def _minimize_levels(
     return _levels_from_partition(
         dense, levels, nf, inv_by_level, rep_by_level
     )
+
+
+def level_visit_counts(
+    dense: np.ndarray,
+    s0: np.ndarray,
+    lv: Levels,
+    corpus: bytes | np.ndarray,
+    *,
+    max_bytes: int = 1 << 20,
+) -> list:
+    """Per-level class visit counts from walking a profile corpus.
+
+    Walks every corpus position through the dense automaton (one
+    vectorized depth at a time) and counts which CLASS each live
+    walker occupies at each depth.  The counts drive the
+    profile-guided table layout (hot classes get low displacements so
+    the kernel's grouped bank scan terminates early); they only
+    affect SPEED — results are exact for any input.
+    """
+    arr = (
+        np.frombuffer(corpus, dtype=np.uint8)
+        if isinstance(corpus, (bytes, bytearray))
+        else np.asarray(corpus, dtype=np.uint8)
+    )[:max_bytes]
+    n = len(arr)
+    counts = []
+    if n == 0:
+        return [np.zeros(lv.n_classes(li), np.int64) for li in range(lv.D)]
+    pos = np.arange(n)
+    st = np.asarray(s0)[arr].astype(np.int64)
+    for li in range(lv.D):
+        if li > 0:
+            nxt = pos + li
+            ch = arr[np.minimum(nxt, n - 1)]
+            alive = (st >= 0) & (nxt < n)
+            st = np.where(alive, dense[np.maximum(st, 0), ch], -1)
+        alive = st >= 0
+        if not alive.any():
+            counts.append(np.zeros(lv.n_classes(li), np.int64))
+            continue
+        cmap = lv.class_map(li, dense.shape[0])
+        cls = cmap[st[alive]]
+        counts.append(
+            np.bincount(cls[cls >= 0], minlength=lv.n_classes(li))
+            .astype(np.int64)
+        )
+    return counts
 
 
 def _identity_levels(dense, levels, nf) -> Levels:

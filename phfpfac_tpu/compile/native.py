@@ -77,6 +77,7 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p,
             ]
             _lib = lib
         except Exception:  # noqa: BLE001 — fall back to NumPy
@@ -157,6 +158,7 @@ def layout_distinct_native(
     colspan: int, force_offset: np.ndarray | None,
     side_offs: np.ndarray | None, side_blob: np.ndarray | None,
     empty: int, side_alias_mask: int = 0, side_span: int = 0,
+    priority: np.ndarray | None = None,
 ):
     """Native distinct-offset first-fit layout (CSR form).
 
@@ -182,12 +184,16 @@ def layout_distinct_native(
     if force_offset is not None:
         force_arr = np.ascontiguousarray(force_offset, dtype=np.uint8)
         force_p = force_arr.ctypes.data
+    prio_p = None
+    if priority is not None:
+        prio_arr = np.ascontiguousarray(priority, dtype=np.int64)
+        prio_p = prio_arr.ctypes.data
     out = np.empty(n, dtype=np.int64)
     ht_len = lib.pfac_layout_distinct(
         cols_blob.ctypes.data, cols_offs.ctypes.data,
         side_blob.ctypes.data if len(side_blob) else side_offs.ctypes.data,
         side_offs.ctypes.data, n, force_p, colspan, cap, empty,
-        side_alias_mask, side_span or colspan, out.ctypes.data,
+        side_alias_mask, side_span or colspan, prio_p, out.ctypes.data,
     )
     if ht_len < 0:
         return None

@@ -202,7 +202,8 @@ def _pair_join(lv: Levels, li: int, code_of: np.ndarray, cb: int):
     return p_offs, pair, end, s_offs, s_codes
 
 
-def _layout_pair_step(p_offs, pair, s_offs, side, pair_span, mono_span):
+def _layout_pair_step(p_offs, pair, s_offs, side, pair_span, mono_span,
+                      priority=None):
     """Lay out one pair step, choosing the side-table packing.
 
     Tries the byte layout (full-code verify) and, when the native
@@ -225,7 +226,7 @@ def _layout_pair_step(p_offs, pair, s_offs, side, pair_span, mono_span):
         offsets, ht_len = _layout_csr(
             p_offs, pair, colspan=pair_span, force_offset=force,
             side_offs=s_offs, side_blob=side,
-            side_alias_mask=mask, side_span=mono_span,
+            side_alias_mask=mask, side_span=mono_span, priority=priority,
         )
         banks = _layout_banks(offsets, p_offs, pair) + _layout_banks(
             offsets, s_offs, side, div=per

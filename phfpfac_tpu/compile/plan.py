@@ -110,9 +110,24 @@ class PlanTables:
     steps: tuple  # tuple[StepSpec], probe order after the prologue
     p0_miss: int  # dead sentinel (plan-wide)
     max_pat_len: int
+    trained: bool = False  # profile-guided layout (grouped-scan ready)
 
 
-def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTables:
+def build_plan_tables(
+    shard: ShardTables, *, minimize: bool = True,
+    train: bytes | np.ndarray | None = None,
+) -> PlanTables:
+    """Build the hybrid-stride plan tables.
+
+    ``train`` (optional profile corpus, e.g. the first MiB of the
+    input) enables the PROFILE-GUIDED layout: per-level class visit
+    counts order the distinct-offset first-fit so hot classes get low
+    displacements, and the kernel switches to a grouped bank scan
+    that stops as soon as every live walker's probe bank has been
+    covered.  Exact for ANY scanned input — the profile only shapes
+    speed (a mismatched profile degrades toward the untrained cost
+    plus a few group checks).
+    """
     if shard.max_pat_len > MAX_DEPTH_STEPS:
         raise PairUnsupported("max pattern length exceeds bitmap width")
     nf = shard.final_state_num
@@ -128,6 +143,12 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     if D == 0:
         raise PairUnsupported("empty automaton")
     lv = _minimize_levels(dense, levels, nf)
+
+    weights = None
+    if train is not None:
+        from phfpfac_tpu.compile.depth import level_visit_counts
+
+        weights = level_visit_counts(dense, shard.s0, lv, train)
 
     # ---- alphabet coding --------------------------------------------------
     # beyond cb=6 the dense sigma^2 depths-1+2 table would cost 128
@@ -154,11 +175,12 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
     d_lo = 2 if p0_mode == "dense" else 1
     for d in range(d_lo, D):
         li = d - 1
+        w = weights[li] if weights is not None else None
         cols = code_of[lv.tr_cols[li]].astype(np.int64)
-        mono_cand[d] = dict(cols=cols)
+        mono_cand[d] = dict(cols=cols, w=w)
         if exact:
             offsets, ht_len = _layout_csr(
-                lv.tr_offs[li], cols, colspan=mono_span
+                lv.tr_offs[li], cols, colspan=mono_span, priority=w
             )
             mono_cand[d].update(
                 offsets=offsets, ht_len=ht_len,
@@ -170,10 +192,11 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
         if li + 1 <= D - 1:  # a pair step needs an odd level to fuse
             join = _pair_join(lv, li, code_of, cb)
             p_offs, pair, _end, s_offs, side = join
-            pair_cand[d] = dict(join=join)
+            pair_cand[d] = dict(join=join, w=w)
             if exact:
                 offsets, ht_len, nib, banks = _layout_pair_step(
-                    p_offs, pair, s_offs, side, pair_span, mono_span
+                    p_offs, pair, s_offs, side, pair_span, mono_span,
+                    priority=w,
                 )
                 pair_cand[d].update(
                     offsets=offsets, ht_len=ht_len, nib=nib, banks=banks,
@@ -192,13 +215,15 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
             return
         if kind == "mono":
             offsets, ht_len = _layout_csr(
-                lv.tr_offs[d - 1], c["cols"], colspan=mono_span
+                lv.tr_offs[d - 1], c["cols"], colspan=mono_span,
+                priority=c["w"],
             )
             c.update(offsets=offsets, ht_len=ht_len)
         else:
             p_offs, pair, _end, s_offs, side = c["join"]
             offsets, ht_len, nib, _banks = _layout_pair_step(
-                p_offs, pair, s_offs, side, pair_span, mono_span
+                p_offs, pair, s_offs, side, pair_span, mono_span,
+                priority=c["w"],
             )
             c.update(offsets=offsets, ht_len=ht_len, nib=nib)
 
@@ -393,4 +418,5 @@ def build_plan_tables(shard: ShardTables, *, minimize: bool = True) -> PlanTable
         steps=tuple(specs),
         p0_miss=p0_miss,
         max_pat_len=shard.max_pat_len,
+        trained=weights is not None,
     )

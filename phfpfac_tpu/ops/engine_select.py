@@ -68,13 +68,16 @@ def xla_count_scanner(shard: ShardTables, max_steps: int):
     return scan
 
 
-def best_count_scanner(shard: ShardTables, max_steps: int):
+def best_count_scanner(shard: ShardTables, max_steps: int,
+                       train: bytes | None = None):
     """Fastest available count-mode scan for one shard.
 
     Preference order: cost-planned hybrid-stride kernel
     (ops.pallas_plan — compact alphabets) > stride-2 pair kernel >
     depth-stratified kernel (any leveled automaton, max_pat_len <= 32)
-    > banked-LUT pallas kernel > XLA fori-loop scan.
+    > banked-LUT pallas kernel > XLA fori-loop scan.  ``train`` is an
+    optional profile corpus for the plan kernel's profile-guided
+    layout + grouped bank scan (exact for any input).
     """
     def _attempt(make):
         try:
@@ -94,8 +97,12 @@ def best_count_scanner(shard: ShardTables, max_steps: int):
     from phfpfac_tpu.ops.pallas_pair import pair_count_scanner
     from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
 
-    for maker in (plan_count_scanner, pair_count_scanner,
-                  depth_count_scanner):
+    scan = _attempt(
+        lambda: plan_count_scanner(shard, max_steps, train=train)
+    )
+    if scan is not None:
+        return scan
+    for maker in (pair_count_scanner, depth_count_scanner):
         scan = _attempt(lambda m=maker: m(shard, max_steps))
         if scan is not None:
             return scan

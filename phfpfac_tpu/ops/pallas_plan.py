@@ -26,12 +26,45 @@ from phfpfac_tpu.ops.pallas_pair import stage_pairs
 from phfpfac_tpu.ops.pallas_scan import _LANE, _SUB, TILE, _lut
 
 
+def _lut_range(banks_ref, idx, acc, lo: int, hi: int, off: int = 0,
+               k0: int = 0):
+    """_lut restricted to banks [lo, hi), merged into ``acc``."""
+    bank = idx >> 7
+    lane = idx & (_LANE - 1)
+    for k in range(lo, hi):
+        row = jnp.broadcast_to(banks_ref[off + k, :][None, :], idx.shape)
+        g = jnp.take_along_axis(row, lane, axis=1)
+        acc = jnp.where(bank == k + k0, g, acc)
+    return acc
+
+
+def _group_ends(nb: int, first: int = 4) -> list:
+    """Geometric bank-group boundaries: [4, 12, 28, 60, ..., nb].
+
+    The grouped scan probes group 0 unconditionally and each further
+    group only while some live walker's probe bank lies beyond the
+    boundary — with a profile-guided layout the hot classes sit in the
+    first group(s), so the expected probed-bank count collapses to the
+    HOT working set instead of the table size, at a cost of
+    O(log(nb)) group checks worst-case.
+    """
+    ends, e, size = [], 0, first
+    while e < nb:
+        e = min(e + size, nb)
+        ends.append(e)
+        size *= 2
+    return ends
+
+
+_GROUP_MIN_NB = 16  # group only tables big enough to be worth checks
+
+
 def _make_plan_kernel(
     *,
     steps: tuple,  # tuple[StepSpec]
     nb_p0: int, cb: int, p0_miss: int, p0_mode: str,
     emit_bitmap: bool, tiles_per_cell: int, cond_from: int,
-    tile_major: bool = False,
+    tile_major: bool = False, grouped: bool = False,
 ):
     from jax.experimental import pallas as pl
 
@@ -111,18 +144,22 @@ def _make_plan_kernel(
                 ) + lane) & (_LANE - 1),
             ))
 
-        def tile_step(sp, geom, b_i, cur, disp, cnt, bits):
-            """One walk step for ONE (8,128) tile; returns the new
-            (cur, disp, cnt, bits)."""
+        def tile_advance(geom, b_i, cur):
+            """Advance one tile's pair-symbol window by the step stride."""
             lane_next, at_tail, bcol_idx = geom
             rolled = jnp.take_along_axis(cur, lane_next, axis=1)
             bcol = jnp.take_along_axis(b_i, bcol_idx, axis=1)
-            cur = jnp.where(at_tail, bcol, rolled)
+            return jnp.where(at_tail, bcol, rolled)
+
+        def main_idx(sp, cur, disp):
+            return disp + (cur & cbm if sp.kind == "mono" else cur)
+
+        def tile_finish(sp, cur, disp, cnt, bits, g):
+            """Verify the main-table probe result ``g``, probe the side
+            table (pair steps), update cnt/bits, chain disp."""
             bit0 = sp.depth0 - 1
             if sp.kind == "mono":
                 sym = cur & cbm
-                idx = disp + sym
-                g = _lut(m_ref, idx, sp.nb, sp.off, sp.k0)
                 hit = (g >= 0) & ((g & cbm) == sym)
                 fin = hit & ((g & (1 << cb)) != 0)
                 cnt = cnt + fin.astype(jnp.int32)
@@ -154,8 +191,6 @@ def _make_plan_kernel(
                         jax.lax.shift_right_logical(w, (sidx & 3) << 3)
                     ) & 255
                     fin_mid = byte == a1 + 1
-                idx = disp + cur
-                g = _lut(m_ref, idx, sp.nb, sp.off, sp.k0)
                 hit = (g >= 0) & ((g & pair_mask) == cur)
                 fin_end = hit & ((g & (1 << (2 * cb))) != 0)
                 cnt = (
@@ -171,6 +206,14 @@ def _make_plan_kernel(
                 disp = jnp.where(
                     hit, jax.lax.shift_right_logical(g, 2 * cb + 1), sp.miss
                 )
+            return disp, cnt, bits
+
+        def tile_step(sp, geom, b_i, cur, disp, cnt, bits):
+            """One walk step for ONE (8,128) tile; returns the new
+            (cur, disp, cnt, bits)."""
+            cur = tile_advance(geom, b_i, cur)
+            g = _lut(m_ref, main_idx(sp, cur, disp), sp.nb, sp.off, sp.k0)
+            disp, cnt, bits = tile_finish(sp, cur, disp, cnt, bits, g)
             return cur, disp, cnt, bits
 
         if tile_major:
@@ -210,19 +253,70 @@ def _make_plan_kernel(
             # count mode excludes the bitmap tiles from the carry —
             # lax.cond copies every carried vreg on a skipped step
             for si, sp in enumerate(steps):
-                def step(carry, sp=sp, g=geoms[si]):
+                use_groups = grouped and sp.nb >= _GROUP_MIN_NB
+
+                def step(carry, sp=sp, g=geoms[si], use_groups=use_groups):
                     curs, disps, cnts = (
                         list(carry[0]), list(carry[1]), list(carry[2])
                     )
                     bitss = list(carry[3]) if emit_bitmap else None
-                    for i in range(tpc):
-                        r = tile_step(
-                            sp, g, b_s[i], curs[i], disps[i], cnts[i],
-                            bitss[i] if emit_bitmap else None,
+                    if use_groups:
+                        # phase A: advance windows, compute probe idxs
+                        idxs = []
+                        for i in range(tpc):
+                            curs[i] = tile_advance(g, b_s[i], curs[i])
+                            idxs.append(main_idx(sp, curs[i], disps[i]))
+                        # phase B: grouped main-table scan.  Group 0
+                        # unconditional; each later group runs only
+                        # while some LIVE walker's bank lies beyond
+                        # the boundary (dead walkers carry the miss
+                        # sentinel, whose bank is past every table).
+                        ends = _group_ends(sp.nb)
+                        accs = tuple(
+                            _lut_range(
+                                m_ref, idxs[i],
+                                jnp.full(idxs[i].shape, -1, jnp.int32),
+                                0, ends[0], sp.off, sp.k0,
+                            )
+                            for i in range(tpc)
                         )
-                        curs[i], disps[i], cnts[i] = r[0], r[1], r[2]
-                        if emit_bitmap:
-                            bitss[i] = r[3]
+                        for lo, hi in zip(ends[:-1], ends[1:]):
+                            def probe(accs, lo=lo, hi=hi):
+                                return tuple(
+                                    _lut_range(
+                                        m_ref, idxs[i], accs[i], lo, hi,
+                                        sp.off, sp.k0,
+                                    )
+                                    for i in range(tpc)
+                                )
+
+                            bnd = (sp.k0 + lo) << 7
+                            pend = (disps[0] != sp.miss) & (idxs[0] >= bnd)
+                            for i in range(1, tpc):
+                                pend = pend | (
+                                    (disps[i] != sp.miss) & (idxs[i] >= bnd)
+                                )
+                            accs = jax.lax.cond(
+                                jnp.any(pend), probe, lambda a: a, accs
+                            )
+                        # phase C: verify + update per tile
+                        for i in range(tpc):
+                            disps[i], cnts[i], new_bits = tile_finish(
+                                sp, curs[i], disps[i], cnts[i],
+                                bitss[i] if emit_bitmap else None,
+                                accs[i],
+                            )
+                            if emit_bitmap:
+                                bitss[i] = new_bits
+                    else:
+                        for i in range(tpc):
+                            r = tile_step(
+                                sp, g, b_s[i], curs[i], disps[i], cnts[i],
+                                bitss[i] if emit_bitmap else None,
+                            )
+                            curs[i], disps[i], cnts[i] = r[0], r[1], r[2]
+                            if emit_bitmap:
+                                bitss[i] = r[3]
                     out = (tuple(curs), tuple(disps), tuple(cnts))
                     return out + ((tuple(bitss),) if emit_bitmap else ())
 
@@ -257,7 +351,7 @@ def _make_plan_kernel(
 
 _STATICS = (
     "steps", "nb_p0", "cb", "p0_miss", "p0_mode", "interpret", "tpc",
-    "cond_from", "tile_major",
+    "cond_from", "tile_major", "grouped",
 )
 
 
@@ -279,7 +373,7 @@ def _specs(tpc):
 def _plan_scan_bitmap(
     data2d, s0_dummy, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
-    tile_major=False,
+    tile_major=False, grouped=False,
 ):
     from jax.experimental import pallas as pl
 
@@ -287,7 +381,7 @@ def _plan_scan_bitmap(
     kernel = _make_plan_kernel(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=True, tiles_per_cell=tpc, cond_from=cond_from,
-        tile_major=tile_major,
+        tile_major=tile_major, grouped=grouped,
     )
     rows_pc = tpc * _SUB
     cnt, bits = pl.pallas_call(
@@ -311,7 +405,7 @@ def _plan_scan_bitmap(
 def _plan_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
-    tile_major=False,
+    tile_major=False, grouped=False,
 ):
     from jax.experimental import pallas as pl
 
@@ -319,7 +413,7 @@ def _plan_scan_count(
     kernel = _make_plan_kernel(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=False, tiles_per_cell=tpc, cond_from=cond_from,
-        tile_major=tile_major,
+        tile_major=tile_major, grouped=grouped,
     )
     partial = pl.pallas_call(
         kernel,
@@ -337,8 +431,8 @@ class PlanShardScanner:
 
     def __init__(self, shard: ShardTables, *, interpret: bool = False,
                  tpc: int = 32, cond_from: int = 4,
-                 tile_major: bool = False):
-        self.pt: PlanTables = build_plan_tables(shard)
+                 tile_major: bool = False, train=None):
+        self.pt: PlanTables = build_plan_tables(shard, train=train)
         self.shard = shard
         self.interpret = interpret
         self.tpc = tpc
@@ -353,6 +447,7 @@ class PlanShardScanner:
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
             interpret=self.interpret, tpc=self.tpc,
             cond_from=self.cond_from, tile_major=self.tile_major,
+            grouped=pt.trained,
         )
 
     def scan(self, data_padded, input_size, cfg, max_steps):
@@ -377,8 +472,8 @@ class PlanCountScan:
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
                  interpret: bool = False, tpc: int = 32, cond_from: int = 4,
-                 tile_major: bool = False):
-        self.pt = build_plan_tables(shard)
+                 tile_major: bool = False, train=None):
+        self.pt = build_plan_tables(shard, train=train)
         self.max_steps = max_steps
         self.interpret = interpret
         self.tpc = tpc
@@ -405,6 +500,7 @@ class PlanCountScan:
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
             interpret=self.interpret, tpc=self.tpc,
             cond_from=self.cond_from, tile_major=self.tile_major,
+            grouped=pt.trained,
         )
 
     def __call__(self, data_padded, input_size, shift):
@@ -414,7 +510,8 @@ class PlanCountScan:
 
 def plan_count_scanner(shard: ShardTables, max_steps: int, *,
                        interpret: bool = False, tpc: int = 32,
-                       cond_from: int = 4) -> PlanCountScan:
+                       cond_from: int = 4, train=None) -> PlanCountScan:
     return PlanCountScan(
-        shard, max_steps, interpret=interpret, tpc=tpc, cond_from=cond_from
+        shard, max_steps, interpret=interpret, tpc=tpc, cond_from=cond_from,
+        train=train,
     )

@@ -54,6 +54,7 @@ class Matcher:
         timer: PhaseTimer | None = None,
         turbo_full_steps: int = 2,
         turbo_cap_frac: int = 8,
+        train: bytes | None = None,
     ):
         self.compiled = compiled
         self.config = config
@@ -64,6 +65,7 @@ class Matcher:
         self._turbo_tables = None
         self._pallas_scanner = None
         self._solo_turbo = {}  # shard idx -> turbo tables (mixed path)
+        self._train = train  # profile corpus (None = first input head)
 
     def _get_turbo_tables(self):
         if self._turbo_tables is None:
@@ -189,6 +191,11 @@ class Matcher:
         than the 32-step bitmap) — the caller scans that shard with
         the exact XLA engine instead, so a few long patterns no longer
         force the WHOLE dictionary off the fast path.
+
+        The plan scanner gets the profile corpus (``self._train``, by
+        default the head of the first scanned input): hot classes take
+        low displacements and the kernel's grouped bank scan stops
+        early.  Results stay exact for any input.
         """
         import importlib
 
@@ -202,7 +209,12 @@ class Matcher:
         for mod, cls_name in makers:
             try:
                 scanner_cls = getattr(importlib.import_module(mod), cls_name)
-                return scanner_cls(shard, interpret=self.config.interpret)
+                kw = {}
+                if cls_name == "PlanShardScanner":
+                    kw["train"] = self._train
+                return scanner_cls(
+                    shard, interpret=self.config.interpret, **kw
+                )
             except ValueError:
                 continue  # Pair/DepthUnsupported etc — expected
             except Exception as e:  # noqa: BLE001
@@ -309,6 +321,10 @@ class Matcher:
 
         max_steps = padded_steps(self.compiled.max_pat_len)
         padded = pad_input(data, _POS_PAD, max_steps)
+        if self._train is None and self._pallas_scanner is None:
+            # profile-guided layout: train on the head of the first
+            # input scanned (only affects speed, never results)
+            self._train = bytes(data[: 1 << 20])
         try:
             kind, scanner = self._get_pallas_scanner()
         except Exception:  # noqa: BLE001 — no pallas path applies

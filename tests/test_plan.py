@@ -177,3 +177,61 @@ def test_wide_alphabet_sentinel_overflow_goes_mono():
     cnt, _bits = map(np.asarray, PlanShardScanner(
         compiled.shards[0], interpret=True).scan(padded, len(data), cfg, ms))
     assert cnt[:len(data)].sum() == len(match_oracle(pats, data, cfg))
+
+
+def test_profile_guided_grouped_scan_parity(monkeypatch):
+    """Profile-guided (trained) tables + grouped bank scan must match
+    the untrained scan and the oracle — including when the profile
+    corpus is UNRELATED to the scanned corpus (the layout only moves
+    hot classes; the grouped early exit is gated on live walkers'
+    actual probe banks)."""
+    import phfpfac_tpu.ops.pallas_plan as pp
+
+    monkeypatch.setattr(pp, "_GROUP_MIN_NB", 2)  # group tiny tables too
+    rng = np.random.default_rng(8)
+    alpha = np.frombuffer(b"abcdefghij .", dtype=np.uint8)
+    words = list(dict.fromkeys(
+        bytes(alpha[rng.integers(0, len(alpha), int(rng.integers(1, 10)))])
+        for _ in range(300)))
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    cfg = PfacConfig(width=256, num_shards=1, truncation="none")
+    compiled = compile_patterns(pats, cfg)
+    sh = compiled.shards[0]
+    train = bytes(alpha[rng.integers(0, len(alpha), 30000)])
+    data = bytes(alpha[rng.integers(0, len(alpha), 16000)]) + train[:2000]
+    ms = padded_steps(compiled.max_pat_len)
+    padded = pad_input(data, 1024, ms)
+    n = len(data)
+    su = pp.PlanShardScanner(sh, interpret=True)
+    st = pp.PlanShardScanner(sh, interpret=True, train=train)
+    assert st.pt.trained and not su.pt.trained
+    assert any(s.nb >= pp._GROUP_MIN_NB for s in st.pt.steps)
+    c1, b1 = map(np.asarray, su.scan(padded, n, cfg, ms))
+    c2, b2 = map(np.asarray, st.scan(padded, n, cfg, ms))
+    np.testing.assert_array_equal(c1[:n], c2[:n])
+    np.testing.assert_array_equal(b1[:n], b2[:n])
+    assert c1[:n].sum() == len(match_oracle(pats, data, cfg))
+
+
+def test_matcher_auto_trains_on_first_input():
+    """The pallas Matcher profiles the head of the first scanned input
+    (PGO by default); results must stay oracle-exact."""
+    from phfpfac_tpu.parallel.matcher import Matcher
+
+    rng = np.random.default_rng(9)
+    alpha = np.frombuffer(b"abcde ", dtype=np.uint8)
+    words = list(dict.fromkeys(
+        bytes(alpha[rng.integers(0, len(alpha), int(rng.integers(1, 7)))])
+        for _ in range(80)))
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    cfg = PfacConfig(width=256, num_shards=2, interpret=True,
+                     truncation="none")
+    compiled = compile_patterns(pats, cfg)
+    m = Matcher(compiled, cfg, engine="pallas")
+    data1 = bytes(alpha[rng.integers(0, len(alpha), 5000)])
+    data2 = bytes(alpha[rng.integers(0, len(alpha), 5000)])
+    got1 = [tuple(x) for x in m.match(data1).tolist()]
+    assert m._train is not None  # profiled on data1's head
+    got2 = [tuple(x) for x in m.match(data2).tolist()]
+    assert got1 == match_oracle(pats, data1, cfg)
+    assert got2 == match_oracle(pats, data2, cfg)
