@@ -170,6 +170,34 @@ def build_plan_tables(
     from phfpfac_tpu.compile.depth import _layout_banks
 
     exact = native.available()
+
+    def _hot_banks(offsets, csr_offs, cols, w, div: int = 1) -> float:
+        """Banks the grouped scan expects to probe for a trained
+        layout: the span from the table base to the last slot owned by
+        a profile-VISITED row (priority put those rows first)."""
+        cnt = csr_offs[1:] - csr_offs[:-1]
+        row = np.repeat(np.arange(len(cnt)), cnt)
+        placed = offsets[row] != _EMPTY
+        if not placed.any():
+            return 0.0
+        slots = (offsets[row] + cols) // div
+        base = slots[placed].min() // 128
+        hot = placed & (w[row] > 0)
+        if not hot.any():
+            return 0.0
+        return float(slots[hot].max() // 128 - base + 1)
+
+    def _grouped_cost(banks: float, hot: float) -> float:
+        """Expected probed banks under the geometric grouped scan:
+        hot span rounded up by ~1.5x (group boundaries) plus ~0.6
+        bank-equivalents per group check; never worse than the full
+        table.  Tables below the kernel's grouping threshold pay full
+        price."""
+        if banks < 16:  # ops.pallas_plan._GROUP_MIN_NB
+            return banks
+        groups = max(1, int(np.log2(max(banks / 4.0, 1))) + 1)
+        return min(banks, 1.5 * hot + 2.0 + 0.6 * groups)
+
     mono_cand: dict = {}  # d -> dict(offsets, ht_len, cols, banks)
     pair_cand: dict = {}  # d -> dict(offsets, ht_len, join, nib, banks)
     d_lo = 2 if p0_mode == "dense" else 1
@@ -182,9 +210,14 @@ def build_plan_tables(
             offsets, ht_len = _layout_csr(
                 lv.tr_offs[li], cols, colspan=mono_span, priority=w
             )
+            banks = _layout_banks(offsets, lv.tr_offs[li], cols)
+            cost_b = banks
+            if w is not None:
+                cost_b = _grouped_cost(
+                    banks, _hot_banks(offsets, lv.tr_offs[li], cols, w)
+                )
             mono_cand[d].update(
-                offsets=offsets, ht_len=ht_len,
-                banks=_layout_banks(offsets, lv.tr_offs[li], cols),
+                offsets=offsets, ht_len=ht_len, banks=cost_b,
             )
         else:
             est_len = int(len(cols) / 0.8) + 1
@@ -198,8 +231,18 @@ def build_plan_tables(
                     p_offs, pair, s_offs, side, pair_span, mono_span,
                     priority=w,
                 )
+                cost_b = banks
+                if w is not None:
+                    per = 8 if nib else 4
+                    mb = _layout_banks(offsets, p_offs, pair)
+                    sb = _layout_banks(offsets, s_offs, side, div=per)
+                    cost_b = _grouped_cost(
+                        mb, _hot_banks(offsets, p_offs, pair, w)
+                    ) + _grouped_cost(
+                        sb, _hot_banks(offsets, s_offs, side, w, div=per)
+                    )
                 pair_cand[d].update(
-                    offsets=offsets, ht_len=ht_len, nib=nib, banks=banks,
+                    offsets=offsets, ht_len=ht_len, nib=nib, banks=cost_b,
                 )
             else:
                 est_len = int(len(pair) / 0.5) + 1

@@ -154,9 +154,10 @@ def _make_plan_kernel(
         def main_idx(sp, cur, disp):
             return disp + (cur & cbm if sp.kind == "mono" else cur)
 
-        def tile_finish(sp, cur, disp, cnt, bits, g):
+        def tile_finish(sp, cur, disp, cnt, bits, g, w_pre=None):
             """Verify the main-table probe result ``g``, probe the side
-            table (pair steps), update cnt/bits, chain disp."""
+            table (pair steps; ``w_pre`` = grouped-scan result), update
+            cnt/bits, chain disp."""
             bit0 = sp.depth0 - 1
             if sp.kind == "mono":
                 sym = cur & cbm
@@ -174,7 +175,7 @@ def _make_plan_kernel(
                 a1 = cur & cbm
                 sidx = disp + a1
                 if sp.s_nibble:
-                    w = _lut(
+                    w = w_pre if w_pre is not None else _lut(
                         s_ref, jax.lax.shift_right_logical(sidx, 3),
                         sp.s_nb, sp.s_off, sp.s_k0,
                     )
@@ -183,7 +184,7 @@ def _make_plan_kernel(
                     ) & 15
                     fin_mid = nib == (a1 & 7) + 1
                 else:
-                    w = _lut(
+                    w = w_pre if w_pre is not None else _lut(
                         s_ref, jax.lax.shift_right_logical(sidx, 2),
                         sp.s_nb, sp.s_off, sp.s_k0,
                     )
@@ -262,10 +263,20 @@ def _make_plan_kernel(
                     bitss = list(carry[3]) if emit_bitmap else None
                     if use_groups:
                         # phase A: advance windows, compute probe idxs
-                        idxs = []
+                        idxs, widxs = [], []
+                        group_side = (
+                            sp.kind == "pair" and sp.s_nb >= _GROUP_MIN_NB
+                        )
+                        wshift = 3 if sp.s_nibble else 2
                         for i in range(tpc):
                             curs[i] = tile_advance(g, b_s[i], curs[i])
                             idxs.append(main_idx(sp, curs[i], disps[i]))
+                            if group_side:
+                                widxs.append(
+                                    jax.lax.shift_right_logical(
+                                        disps[i] + (curs[i] & cbm), wshift
+                                    )
+                                )
                         # phase B: grouped main-table scan.  Group 0
                         # unconditional; each later group runs only
                         # while some LIVE walker's bank lies beyond
@@ -299,12 +310,51 @@ def _make_plan_kernel(
                             accs = jax.lax.cond(
                                 jnp.any(pend), probe, lambda a: a, accs
                             )
+                        # grouped SIDE scan (pair steps with big side
+                        # tables): same structure over the packed words
+                        waccs = [None] * tpc
+                        if group_side:
+                            s_ends = _group_ends(sp.s_nb)
+                            waccs = tuple(
+                                _lut_range(
+                                    s_ref, widxs[i],
+                                    jnp.full(
+                                        widxs[i].shape, -1, jnp.int32
+                                    ),
+                                    0, s_ends[0], sp.s_off, sp.s_k0,
+                                )
+                                for i in range(tpc)
+                            )
+                            for lo, hi in zip(s_ends[:-1], s_ends[1:]):
+                                def sprobe(waccs, lo=lo, hi=hi):
+                                    return tuple(
+                                        _lut_range(
+                                            s_ref, widxs[i], waccs[i],
+                                            lo, hi, sp.s_off, sp.s_k0,
+                                        )
+                                        for i in range(tpc)
+                                    )
+
+                                bnd = (sp.s_k0 + lo) << 7
+                                pend = (
+                                    (disps[0] != sp.miss)
+                                    & (widxs[0] >= bnd)
+                                )
+                                for i in range(1, tpc):
+                                    pend = pend | (
+                                        (disps[i] != sp.miss)
+                                        & (widxs[i] >= bnd)
+                                    )
+                                waccs = jax.lax.cond(
+                                    jnp.any(pend), sprobe, lambda a: a,
+                                    waccs,
+                                )
                         # phase C: verify + update per tile
                         for i in range(tpc):
                             disps[i], cnts[i], new_bits = tile_finish(
                                 sp, curs[i], disps[i], cnts[i],
                                 bitss[i] if emit_bitmap else None,
-                                accs[i],
+                                accs[i], w_pre=waccs[i],
                             )
                             if emit_bitmap:
                                 bitss[i] = new_bits
