@@ -44,9 +44,10 @@ def main() -> int:
     compiled = compile_patterns(pats, PfacConfig(width=4096, num_shards=1))
     shard = compiled.shards[0]
     max_steps = padded_steps(compiled.max_pat_len)
-    scan = best_count_scanner(shard, max_steps)
-
     seed = open(f"{REF}/1M", "rb").read()
+    # profile-guided layout: train on the corpus head (exact for any
+    # input; matches bench.py)
+    scan = best_count_scanner(shard, max_steps, train=seed[: 1 << 20])
     sizes = [10_000, 100_000, 1_000_000]
     mib = 2
     while mib <= args.max_mib:
