@@ -319,6 +319,39 @@ def _layout_banks(offsets, csr_offs, cols, div: int = 1) -> int:
     return int(slots.max() // 128 - slots.min() // 128 + 1)
 
 
+# Kernel grouping threshold (ops.pallas_plan's grouped bank scan and
+# the trained DP cost model must agree on which tables group).
+GROUP_MIN_NB = 16
+
+
+def _hot_banks(offsets, csr_offs, cols, w, div: int = 1) -> float:
+    """Banks the grouped scan expects to probe for a trained layout:
+    the span from the table base to the last slot owned by a
+    profile-VISITED row (priority ordering put those rows first)."""
+    cnt = csr_offs[1:] - csr_offs[:-1]
+    row = np.repeat(np.arange(len(cnt)), cnt)
+    placed = offsets[row] != _EMPTY
+    if not placed.any():
+        return 0.0
+    slots = (offsets[row] + cols) // div
+    base = slots[placed].min() // 128
+    hot = placed & (w[row] > 0)
+    if not hot.any():
+        return 0.0
+    return float(slots[hot].max() // 128 - base + 1)
+
+
+def _grouped_cost(banks: float, hot: float) -> float:
+    """Expected probed banks under the geometric grouped scan: hot
+    span rounded up by ~1.5x (group boundaries) plus ~0.6
+    bank-equivalents per group check; never worse than the full
+    table.  Tables below GROUP_MIN_NB pay full price."""
+    if banks < GROUP_MIN_NB:
+        return banks
+    groups = max(1, int(np.log2(max(banks / 4.0, 1))) + 1)
+    return min(banks, 1.5 * hot + 2.0 + 0.6 * groups)
+
+
 def _to_banks(flat: np.ndarray, fill: int = -1) -> np.ndarray:
     nb = max(1, -(-len(flat) // _LANE))
     out = np.full((nb, _LANE), fill, dtype=np.int32)

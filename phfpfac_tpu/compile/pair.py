@@ -208,31 +208,42 @@ def _layout_pair_step(p_offs, pair, s_offs, side, pair_span, mono_span,
 
     Tries the byte layout (full-code verify) and, when the native
     layout is available, the 4-bit layout (mod-8 verify + anti-alias
-    constraints); keeps whichever costs the kernel fewer total probe
-    banks.  The nibble constraints shrink the side table ~2x but can
-    fragment the MAIN table on row-heavy steps — measured per step,
-    not assumed.
+    constraints); keeps whichever costs the kernel fewer probe banks —
+    TOTAL banks untrained, expected GROUPED banks when a priority
+    profile is given (the kernel scans trained tables in groups, so
+    the hot span is what matters).  The nibble constraints shrink the
+    side table ~2x but can fragment the MAIN table on row-heavy steps
+    — measured per step, not assumed.
 
-    Returns (offsets, ht_len, side_nibble, banks).
+    Returns (offsets, ht_len, side_nibble, main_banks, side_banks).
     """
     from phfpfac_tpu.compile import native
+    from phfpfac_tpu.compile.depth import _grouped_cost, _hot_banks
 
     force = (s_offs[1:] - s_offs[:-1]) > 0
     modes = [(False, 0, 4)]
     if native.available():
         modes.append((True, 7, 8))
-    best = None
+    best = best_score = None
     for nib, mask, per in modes:
         offsets, ht_len = _layout_csr(
             p_offs, pair, colspan=pair_span, force_offset=force,
             side_offs=s_offs, side_blob=side,
             side_alias_mask=mask, side_span=mono_span, priority=priority,
         )
-        banks = _layout_banks(offsets, p_offs, pair) + _layout_banks(
-            offsets, s_offs, side, div=per
-        )
-        if best is None or banks < best[3]:
-            best = (offsets, ht_len, nib, banks)
+        mb = _layout_banks(offsets, p_offs, pair)
+        sb = _layout_banks(offsets, s_offs, side, div=per)
+        if priority is not None:
+            score = _grouped_cost(
+                mb, _hot_banks(offsets, p_offs, pair, priority)
+            ) + _grouped_cost(
+                sb, _hot_banks(offsets, s_offs, side, priority, div=per)
+            )
+        else:
+            score = mb + sb
+        if best is None or score < best_score:
+            best = (offsets, ht_len, nib, mb, sb)
+            best_score = score
     return best
 
 
@@ -319,7 +330,7 @@ def build_pair_tables(shard: ShardTables, *, minimize: bool = True) -> PairTable
     nibbles: list[bool] = [False] * (K + 1)
     for k in range(1, K + 1):
         p_offs, pair, _end, s_offs, side = joins[k - 1]
-        offsets, ht_len, nib, _banks = _layout_pair_step(
+        offsets, ht_len, nib, _mb, _sb = _layout_pair_step(
             p_offs, pair, s_offs, side, pair_span, mono_span
         )
         offsets_k[k] = offsets

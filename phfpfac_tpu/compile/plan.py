@@ -149,6 +149,11 @@ def build_plan_tables(
         from phfpfac_tpu.compile.depth import level_visit_counts
 
         weights = level_visit_counts(dense, shard.s0, lv, train)
+        if not any(int(w.sum()) for w in weights):
+            # degenerate profile (empty / unrepresentative corpus):
+            # trained tables would pay grouped-scan checks with no
+            # hot-row front-loading — stay untrained
+            weights = None
 
     # ---- alphabet coding --------------------------------------------------
     # beyond cb=6 the dense sigma^2 depths-1+2 table would cost 128
@@ -167,37 +172,13 @@ def build_plan_tables(
     # utilization ESTIMATES there and only the chosen steps are laid
     # out afterwards (_materialize).
     from phfpfac_tpu.compile import native
-    from phfpfac_tpu.compile.depth import _layout_banks
+    from phfpfac_tpu.compile.depth import (
+        _grouped_cost,
+        _hot_banks,
+        _layout_banks,
+    )
 
     exact = native.available()
-
-    def _hot_banks(offsets, csr_offs, cols, w, div: int = 1) -> float:
-        """Banks the grouped scan expects to probe for a trained
-        layout: the span from the table base to the last slot owned by
-        a profile-VISITED row (priority put those rows first)."""
-        cnt = csr_offs[1:] - csr_offs[:-1]
-        row = np.repeat(np.arange(len(cnt)), cnt)
-        placed = offsets[row] != _EMPTY
-        if not placed.any():
-            return 0.0
-        slots = (offsets[row] + cols) // div
-        base = slots[placed].min() // 128
-        hot = placed & (w[row] > 0)
-        if not hot.any():
-            return 0.0
-        return float(slots[hot].max() // 128 - base + 1)
-
-    def _grouped_cost(banks: float, hot: float) -> float:
-        """Expected probed banks under the geometric grouped scan:
-        hot span rounded up by ~1.5x (group boundaries) plus ~0.6
-        bank-equivalents per group check; never worse than the full
-        table.  Tables below the kernel's grouping threshold pay full
-        price."""
-        if banks < 16:  # ops.pallas_plan._GROUP_MIN_NB
-            return banks
-        groups = max(1, int(np.log2(max(banks / 4.0, 1))) + 1)
-        return min(banks, 1.5 * hot + 2.0 + 0.6 * groups)
-
     mono_cand: dict = {}  # d -> dict(offsets, ht_len, cols, banks)
     pair_cand: dict = {}  # d -> dict(offsets, ht_len, join, nib, banks)
     d_lo = 2 if p0_mode == "dense" else 1
@@ -227,20 +208,19 @@ def build_plan_tables(
             p_offs, pair, _end, s_offs, side = join
             pair_cand[d] = dict(join=join, w=w)
             if exact:
-                offsets, ht_len, nib, banks = _layout_pair_step(
+                offsets, ht_len, nib, mb, sb = _layout_pair_step(
                     p_offs, pair, s_offs, side, pair_span, mono_span,
                     priority=w,
                 )
-                cost_b = banks
                 if w is not None:
                     per = 8 if nib else 4
-                    mb = _layout_banks(offsets, p_offs, pair)
-                    sb = _layout_banks(offsets, s_offs, side, div=per)
                     cost_b = _grouped_cost(
                         mb, _hot_banks(offsets, p_offs, pair, w)
                     ) + _grouped_cost(
                         sb, _hot_banks(offsets, s_offs, side, w, div=per)
                     )
+                else:
+                    cost_b = mb + sb
                 pair_cand[d].update(
                     offsets=offsets, ht_len=ht_len, nib=nib, banks=cost_b,
                 )
@@ -264,7 +244,7 @@ def build_plan_tables(
             c.update(offsets=offsets, ht_len=ht_len)
         else:
             p_offs, pair, _end, s_offs, side = c["join"]
-            offsets, ht_len, nib, _banks = _layout_pair_step(
+            offsets, ht_len, nib, _mb, _sb = _layout_pair_step(
                 p_offs, pair, s_offs, side, pair_span, mono_span,
                 priority=c["w"],
             )

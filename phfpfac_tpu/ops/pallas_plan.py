@@ -56,7 +56,8 @@ def _group_ends(nb: int, first: int = 4) -> list:
     return ends
 
 
-_GROUP_MIN_NB = 16  # group only tables big enough to be worth checks
+from phfpfac_tpu.compile.depth import GROUP_MIN_NB as _GROUP_MIN_NB  # noqa: E402
+# (single knob shared with the trained DP cost model, compile.depth)
 
 
 def _make_plan_kernel(
@@ -482,6 +483,10 @@ class PlanShardScanner:
     def __init__(self, shard: ShardTables, *, interpret: bool = False,
                  tpc: int = 32, cond_from: int = 4,
                  tile_major: bool = False, train=None):
+        # the tile-major experiment path has no grouped-scan support;
+        # training would silently lose its effect there
+        if tile_major and train is not None:
+            raise ValueError("tile_major does not support trained tables")
         self.pt: PlanTables = build_plan_tables(shard, train=train)
         self.shard = shard
         self.interpret = interpret
@@ -523,6 +528,8 @@ class PlanCountScan:
     def __init__(self, shard: ShardTables, max_steps: int, *,
                  interpret: bool = False, tpc: int = 32, cond_from: int = 4,
                  tile_major: bool = False, train=None):
+        if tile_major and train is not None:
+            raise ValueError("tile_major does not support trained tables")
         self.pt = build_plan_tables(shard, train=train)
         self.max_steps = max_steps
         self.interpret = interpret

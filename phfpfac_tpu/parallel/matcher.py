@@ -321,9 +321,12 @@ class Matcher:
 
         max_steps = padded_steps(self.compiled.max_pat_len)
         padded = pad_input(data, _POS_PAD, max_steps)
-        if self._train is None and self._pallas_scanner is None:
+        if self._train is None and self._pallas_scanner is None \
+                and len(data) >= 4096:
             # profile-guided layout: train on the head of the first
-            # input scanned (only affects speed, never results)
+            # (non-trivial) input scanned — only affects speed, never
+            # results; tiny first inputs would lock in a useless
+            # profile, so they stay untrained
             self._train = bytes(data[: 1 << 20])
         try:
             kind, scanner = self._get_pallas_scanner()
