@@ -199,3 +199,127 @@ class PallasMeshMatcher:
                 decode_hits(hb, pos, data, input_size, shard, max_steps)
             )
         return merge_flat_matches(self.compiled, flats, input_size)
+
+
+# ---------------------------------------------------------------------------
+# Plan kernel over the data axis: the FASTEST kernel, scaled over chips.
+# Pattern shards need per-shard static step plans (not stackable into
+# one SPMD program), so shards loop on the host while each shard's scan
+# is data-parallel over the mesh with replicated tables and ICI halos.
+# ---------------------------------------------------------------------------
+
+
+def _mesh_plan_bitmap_scan(
+    data2d,  # int32 [rows, 128] staged pair symbols (sharded over "data")
+    p0_banks, packed_banks, side_banks,  # replicated
+    *,
+    mesh: Mesh,
+    statics: dict,
+    miss_sym: int,
+):
+    from phfpfac_tpu.ops.pallas_plan import _plan_scan_bitmap
+
+    n_data = mesh.shape["data"]
+
+    def cell(d2, p0, m, s):
+        halo = jax.lax.ppermute(
+            d2[:_SUB],
+            "data",
+            perm=[(i, (i - 1) % n_data) for i in range(n_data)],
+        )
+        # the last cell's wrap would alias cell 0's real text: feed the
+        # dead pair symbol instead (no stored entry matches it)
+        is_last = jax.lax.axis_index("data") == n_data - 1
+        halo = jnp.where(is_last, jnp.int32(miss_sym), halo)
+        local = jnp.concatenate([d2, halo], axis=0)
+        _cnt, bits = _plan_scan_bitmap(
+            local, jnp.zeros(1, jnp.int32), p0, m, s, **statics
+        )
+        return bits
+
+    f = jax.shard_map(
+        cell,
+        mesh=mesh,
+        in_specs=(P("data", None), P(None, None), P(None, None),
+                  P(None, None)),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return f(data2d, p0_banks, packed_banks, side_banks)
+
+
+class PlanMeshMatcher:
+    """Data-parallel mesh matcher on the plan kernel (exact mode).
+
+    Scales the fastest single-chip kernel over the mesh's ``data``
+    axis: the staged input is row-sharded, tables are replicated, and
+    each cell receives its right neighbor's first 8 staged rows over
+    ICI (the collective form of the in-kernel halo).  Dictionary
+    shards loop on the host — each shard's plan is its own static
+    program, so shards don't ride a mesh axis here (use
+    PallasMeshMatcher's stacked depth tables for that).
+
+    ``train`` enables the profile-guided layout + grouped bank scan
+    exactly as on a single chip.
+    """
+
+    def __init__(self, compiled: CompiledDictionary, config, mesh: Mesh,
+                 *, interpret: bool = False, tpc: int = 8,
+                 train: bytes | None = None):
+        from phfpfac_tpu.compile.pair import PairUnsupported
+        from phfpfac_tpu.compile.plan import build_plan_tables
+
+        if config.truncation == "segment":
+            raise PairUnsupported("segment truncation needs stride-1")
+        if "data" not in mesh.shape:
+            raise ValueError("mesh needs a 'data' axis")
+        self.compiled = compiled
+        self.config = config
+        self.mesh = mesh
+        self.interpret = interpret
+        self.tpc = tpc
+        self.pts = [
+            build_plan_tables(sh, train=train) for sh in compiled.shards
+        ]
+
+    def match(self, data: bytes, *, input_size: int | None = None):
+        """Flat [(position, global pattern id)] in reference order."""
+        from phfpfac_tpu.ops.bitmap import decode_hits, fetch_hit_bits
+        from phfpfac_tpu.ops.pallas_pair import stage_pairs
+        from phfpfac_tpu.parallel.merge import merge_flat_matches
+
+        if input_size is None:
+            input_size = len(data)
+        max_steps = padded_steps(self.compiled.max_pat_len)
+        n_data = self.mesh.shape["data"]
+        padded = pad_input(data, 1024 * n_data, max_steps)
+        n_pos = len(padded) - max_steps
+        rows = n_pos // 128  # per-cell halos come from ppermute
+
+        flats = []
+        for shard, pt in zip(self.compiled.shards, self.pts):
+            data2d = stage_pairs(
+                jnp.asarray(padded[:n_pos]),
+                jnp.asarray(np.int32(input_size)),
+                jnp.asarray(pt.code_of), n_rows=rows, cb=pt.code_bits,
+            )
+            sigma = int(pt.code_of.max())
+            statics = dict(
+                steps=pt.steps, nb_p0=pt.p0_banks.shape[0],
+                cb=pt.code_bits, p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
+                interpret=self.interpret, tpc=self.tpc,
+                cond_from=3, grouped=pt.trained,
+            )
+            bits = _mesh_plan_bitmap_scan(
+                data2d,
+                jnp.asarray(pt.p0_banks),
+                jnp.asarray(pt.packed_banks),
+                jnp.asarray(pt.side_banks),
+                mesh=self.mesh, statics=statics,
+                miss_sym=(sigma << pt.code_bits) | sigma,
+            )
+            pos, hb = fetch_hit_bits(bits, input_size)
+            flats.append(
+                decode_hits(hb, pos, data, input_size, shard, max_steps)
+            )
+        return merge_flat_matches(self.compiled, flats, input_size)

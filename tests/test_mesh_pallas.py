@@ -52,3 +52,34 @@ def test_block_boundary_straddle():
     data = b"x" * (1024 - 8) + b"boundarycrossing" + b"y" * 2000
     got = [tuple(x) for x in pm.match(data).tolist()]
     assert got == [(1024 - 8, 1)]
+
+
+class TestPlanMesh:
+    """Plan kernel over the data axis (PlanMeshMatcher)."""
+
+    def test_oracle_parity_and_single_chip_equivalence(self, reference_dir):
+        from phfpfac_tpu.parallel.mesh_pallas import PlanMeshMatcher
+
+        words = (reference_dir / "xaa").read_bytes().split()[:300]
+        data = (reference_dir / "1M").read_bytes()[:16384]
+        pats, cfg, compiled = _mk(words, 2)
+        pm = PlanMeshMatcher(compiled, cfg, make_mesh(8, 1), interpret=True)
+        got = [tuple(x) for x in pm.match(data).tolist()]
+        assert got == match_oracle(pats, data, cfg)
+        single = Matcher(compiled, cfg, engine="pallas")
+        assert got == [tuple(x) for x in single.match(data).tolist()]
+
+    def test_trained_boundary_straddle(self, reference_dir):
+        """Profile-guided tables + a match crossing the data-shard
+        boundary (ICI halo) on the plan mesh path."""
+        from phfpfac_tpu.parallel.mesh_pallas import PlanMeshMatcher
+
+        words = [b"boundarycrossing", b"bound", b"cross"]
+        pats, cfg, compiled = _mk(words, 1, width=256)
+        train = (reference_dir / "1M").read_bytes()[:8192]
+        pm = PlanMeshMatcher(compiled, cfg, make_mesh(8, 1),
+                             interpret=True, train=train)
+        assert all(pt.trained for pt in pm.pts)
+        data = b"x" * (1024 - 8) + b"boundarycrossing" + b"y" * 3000
+        got = [tuple(x) for x in pm.match(data).tolist()]
+        assert got == match_oracle(pats, data, cfg)
