@@ -34,6 +34,9 @@ BASELINE_GBPS = 0.664 / 8  # reference headline, GB/s
 
 
 def main() -> None:
+    from phfpfac_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from phfpfac_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     # honor JAX_PLATFORMS even when an interpreter-level site hook
     # pre-registered a TPU plugin (jax.config wins over the env)
     import os

@@ -1,0 +1,52 @@
+"""Persistent executable cache (compile-once, reuse across processes).
+
+The reference pays zero compile cost — nvcc compiles ``TraceTable_kernel``
+once at build time and every run launches the same SASS
+(master_kernel.cu:406-408).  The TPU rebuild JIT-compiles its Mosaic
+kernels per (table-geometry, input-shape) signature, and the widest
+plans cost minutes of XLA/Mosaic compile (PERF.md "Mosaic compile
+latency").  This module wires JAX's persistent compilation cache to an
+on-disk directory so a fresh process reuses every previously compiled
+executable: start-to-first-byte at Snort scale drops from minutes to
+the host table-build time.
+
+Enabled by default from the CLI / bench / driver entry points; opt out
+with ``PHFPFAC_NO_COMPILE_CACHE=1`` or relocate with
+``PHFPFAC_COMPILE_CACHE_DIR``.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+
+_enabled = False
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
+    """Point JAX's compilation cache at an on-disk directory.
+
+    Idempotent; returns the cache dir (or None when disabled by env).
+    Safe to call before or after backend initialization.
+    """
+    global _enabled
+    if os.environ.get("PHFPFAC_NO_COMPILE_CACHE"):
+        return None
+    path = (
+        cache_dir
+        or os.environ.get("PHFPFAC_COMPILE_CACHE_DIR")
+        or os.path.abspath(_DEFAULT_DIR)
+    )
+    if _enabled:
+        return path
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that took real compile time; tiny executables
+    # are cheaper to recompile than to hash/load
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _enabled = True
+    return path

@@ -32,6 +32,10 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
+from phfpfac_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 REFERENCE = pathlib.Path("/root/reference/regex_GPU_PHF")
 
 
