@@ -1,0 +1,99 @@
+"""Kernel-variant A/B harness (english dict, 32 MiB, count mode).
+
+Usage:  python bench/kexp.py [--mib 32] [--dict english|big] [--untrained]
+
+Times the plan engine via the chained-dispatch protocol (bench.py
+methodology) and prints one line per run.  Used to iterate on
+ops/pallas_plan.py; the headline 128 MiB number stays bench.py's job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from phfpfac_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mib", type=int, default=32)
+    ap.add_argument("--dict", default="english", choices=["english", "big"])
+    ap.add_argument("--untrained", action="store_true")
+    ap.add_argument("--tpc", type=int, default=32)
+    ap.add_argument("--cond-from", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from phfpfac_tpu.compile.tables import compile_patterns
+    from phfpfac_tpu.frontend.patterns import Pattern
+    from phfpfac_tpu.ops.common import pad_input, padded_steps
+    from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+    from phfpfac_tpu.utils.config import PfacConfig
+
+    words: list[bytes] = []
+    if args.dict == "english":
+        for part in ("xaa", "xab", "xac", "xad"):
+            words += open(
+                f"/root/reference/regex_GPU_PHF/{part}", "rb"
+            ).read().split()
+    else:
+        for part in ("xaa", "xab", "xac"):
+            words += open(
+                f"/root/reference/regex_GPU_PHF/experiment/bigenglishdic/{part}",
+                "rb",
+            ).read().split(b"\n")
+        words = [w for w in words if 0 < len(w) <= 32]
+    pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
+    cfg = PfacConfig(width=4096, num_shards=1)
+    compiled = compile_patterns(pats, cfg)
+    shard = compiled.shards[0]
+
+    data = open("/root/reference/regex_GPU_PHF/1M", "rb").read() * args.mib
+    n = len(data)
+    max_steps = padded_steps(compiled.max_pat_len)
+    padded = pad_input(data, 1024, max_steps)
+
+    t0 = time.perf_counter()
+    scan = plan_count_scanner(
+        shard, max_steps, tpc=args.tpc, cond_from=args.cond_from,
+        train=None if args.untrained else data[: 1 << 20],
+    )
+    t_build = time.perf_counter() - t0
+    dev = scan.prepare(padded, n)
+
+    t0 = time.perf_counter()
+    seed = scan.scan(dev, jnp.int32(n), jnp.int32(0))
+    total = int(np.asarray(seed))
+    t_compile = time.perf_counter() - t0
+
+    reps = []
+    K = 8
+    for _ in range(args.reps):
+        s = jnp.int32(0)
+        t0 = time.perf_counter()
+        for _ in range(K):
+            s = scan.scan(dev, jnp.int32(n), s % 2)
+        _ = int(np.asarray(s))
+        reps.append((time.perf_counter() - t0) / K)
+    dt = float(np.median(reps))
+    print(
+        f"[kexp] dict={args.dict} mib={args.mib} trained={not args.untrained} "
+        f"tpc={args.tpc} cf={args.cond_from} | {n/dt/1e9:.3f} GB/s "
+        f"({dt*1e3:.2f} ms) matches={total} "
+        f"build={t_build:.1f}s compile={t_compile:.1f}s",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -436,6 +437,112 @@ int64_t pfac_layout_distinct(const int64_t* cols_blob,
   if (!any_live) return 1;
   for (auto& [row, off] : placed) out_offsets[row] = off - min_off;
   return max_end - min_off + 1;
+}
+
+// Decode match bitmaps by re-walking hit positions (the host half of
+// the kernels' bitmap contract, see ops/bitmap.py).  Match-dense
+// corpora (english dict over english text: ~0.4 matches/byte) make
+// this the end-to-end bottleneck in NumPy — the reference has the same
+// host hot loop at main.cc:303-324.  Each hit position walks the
+// automaton only to its bitmap's highest set bit; threads own disjoint
+// position ranges with exact output offsets precomputed from popcounts
+// (every set bit yields exactly one output triple).
+//
+//   dense:  int32 [state_num * 256] transition table, or null to use
+//           the PHF probe (r/ht/val, reference master_kernel.cu:52-64).
+//   out:    int64 [3 * total_popcount(hb)] — (pos, t, state) triples,
+//           (pos, t)-ordered.
+//
+// Returns the number of triples written.
+int64_t pfac_decode_hits(
+    const uint8_t* data, int64_t n,
+    const int64_t* hit_pos, const uint32_t* hb, int64_t h,
+    const int32_t* s0, int64_t k,
+    const int32_t* dense,
+    const int32_t* r, int64_t r_len, const int32_t* ht, const int32_t* val,
+    int64_t ht_size, int64_t width_bit,
+    int64_t max_t, int64_t n_threads, int64_t* out) {
+  if (h == 0) return 0;
+  const int64_t width_m1 = (int64_t(1) << width_bit) - 1;
+  if (max_t > 32) max_t = 32;
+
+  auto walk_range = [&](int64_t lo, int64_t hi, int64_t* o) -> int64_t {
+    int64_t* base = o;
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t p = hit_pos[i];
+      uint32_t rem = hb[i];
+      if (!rem) continue;
+      int64_t state = s0[data[p]];
+      for (int64_t t = 0; t < max_t && rem; ++t) {
+        if (t > 0) {
+          if (state < 0 || p + t >= n) break;
+          const int c = data[p + t];
+          if (dense) {
+            state = dense[state * kCharSet + c];
+          } else {
+            const int64_t key = state * kCharSet + c;
+            const int64_t row = key >> width_bit;
+            int64_t nxt = -1;
+            if (row < r_len) {
+              const int64_t idx = int64_t(r[row]) + (key & width_m1);
+              if (idx >= 0 && idx < ht_size && ht[idx] == row)
+                nxt = val[idx];
+            }
+            state = nxt;
+          }
+        }
+        if (rem & (uint32_t(1) << t)) {
+          rem &= ~(uint32_t(1) << t);
+          if (state >= 0 && state < k) {
+            *o++ = p;
+            *o++ = t;
+            *o++ = state;
+          }
+        }
+      }
+    }
+    return (o - base) / 3;
+  };
+
+  if (n_threads <= 1 || h < (int64_t(1) << 16)) {
+    return walk_range(0, h, out);
+  }
+  // exact per-chunk output offsets from bit counts (each set bit is at
+  // most one triple; invalid-state bits leave a gap compacted below)
+  std::vector<int64_t> starts(n_threads + 1, 0);
+  std::vector<int64_t> chunk_lo(n_threads + 1, 0);
+  const int64_t per = (h + n_threads - 1) / n_threads;
+  {
+    int64_t acc = 0, i = 0;
+    for (int64_t c = 0; c < n_threads; ++c) {
+      chunk_lo[c] = i;
+      starts[c] = acc;
+      const int64_t hi = std::min(h, i + per);
+      for (; i < hi; ++i) acc += __builtin_popcount(hb[i]);
+    }
+    chunk_lo[n_threads] = h;
+    starts[n_threads] = acc;
+  }
+  std::vector<int64_t> written(n_threads, 0);
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int64_t c = 0; c < n_threads; ++c) {
+    threads.emplace_back([&, c]() {
+      written[c] =
+          walk_range(chunk_lo[c], chunk_lo[c + 1], out + 3 * starts[c]);
+    });
+  }
+  for (auto& t : threads) t.join();
+  // compact the (rare) gaps left by defensive invalid-state skips
+  int64_t total = written[0];
+  for (int64_t c = 1; c < n_threads; ++c) {
+    if (total != starts[c] && written[c]) {
+      std::memmove(out + 3 * total, out + 3 * starts[c],
+                   sizeof(int64_t) * 3 * written[c]);
+    }
+    total += written[c];
+  }
+  return total;
 }
 
 }  // extern "C"

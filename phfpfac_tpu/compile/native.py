@@ -34,7 +34,7 @@ _failed = False
 
 def _build() -> None:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
         "-std=c++17", str(_SRC), "-o", str(_SO),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -78,6 +78,17 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_void_p,
+            ]
+            lib.pfac_decode_hits.restype = ctypes.c_int64
+            lib.pfac_decode_hits.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,               # data, n
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # pos,hb,h
+                ctypes.c_void_p, ctypes.c_int64,               # s0, k
+                ctypes.c_void_p,                               # dense
+                ctypes.c_void_p, ctypes.c_int64,               # r, r_len
+                ctypes.c_void_p, ctypes.c_void_p,              # ht, val
+                ctypes.c_int64, ctypes.c_int64,                # ht_size, wb
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ]
             _lib = lib
         except Exception:  # noqa: BLE001 — fall back to NumPy
@@ -232,3 +243,46 @@ def ffdm_native(table: np.ndarray, width: int, hashtable_max: int = HASHTABLE_MA
             "ht_size": int(stats[3]),
         },
     )
+
+
+def decode_hits_native(
+    hb: np.ndarray, hit_pos: np.ndarray, data: np.ndarray, shard,
+    max_t: int, n_threads: int = 0,
+) -> np.ndarray:
+    """Native bitmap decode (see _native pfac_decode_hits and the NumPy
+    reference in ops/bitmap.decode_hits).  Returns int64 [(pos, t,
+    shard-local state)] in (pos, t) order."""
+    lib = _load()
+    assert lib is not None
+    hb = np.ascontiguousarray(hb, dtype=np.uint32)
+    hit_pos = np.ascontiguousarray(hit_pos, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    s0 = np.ascontiguousarray(shard.s0, dtype=np.int32)
+    cap = int(np.bitwise_count(hb).sum()) if hb.size else 0
+    out = np.empty(cap * 3, dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    if shard.has_phf:
+        r = np.ascontiguousarray(shard.r, dtype=np.int32)
+        ht = np.ascontiguousarray(shard.ht, dtype=np.int32)
+        val = np.ascontiguousarray(shard.val, dtype=np.int32)
+        wrote = lib.pfac_decode_hits(
+            data.ctypes.data, len(data),
+            hit_pos.ctypes.data, hb.ctypes.data, len(hb),
+            s0.ctypes.data, shard.final_state_num,
+            None,
+            r.ctypes.data, len(r), ht.ctypes.data, val.ctypes.data,
+            len(ht), shard.width_bit,
+            max_t, n_threads, out.ctypes.data if cap else None,
+        )
+    else:
+        dense = np.ascontiguousarray(shard.dense_table(), dtype=np.int32)
+        wrote = lib.pfac_decode_hits(
+            data.ctypes.data, len(data),
+            hit_pos.ctypes.data, hb.ctypes.data, len(hb),
+            s0.ctypes.data, shard.final_state_num,
+            dense.ctypes.data,
+            None, 0, None, None, 0, 1,
+            max_t, n_threads, out.ctypes.data if cap else None,
+        )
+    return out[: wrote * 3].reshape(-1, 3)

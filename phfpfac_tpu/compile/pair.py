@@ -107,6 +107,12 @@ def collect_alphabet(shard: ShardTables, lv: Levels,
     if sigma > max_sigma:
         raise PairUnsupported(f"alphabet too large ({sigma} > {max_sigma})")
     cb = max(sigma.bit_length(), 1)
+    # Keep the miss code strictly below the code-field mask: a missed
+    # banked probe returns -1 whose sym field is all-ones, so with
+    # sigma < 2^cb - 1 the kernels can verify with a single masked
+    # compare (no separate g >= 0 check).
+    if sigma == (1 << cb) - 1:
+        cb += 1
     code_of = np.full(256, sigma, dtype=np.int32)
     code_of[np.flatnonzero(used)] = np.arange(sigma, dtype=np.int32)
     return code_of, sigma, cb

@@ -83,6 +83,16 @@ def decode_hits(
         if isinstance(data, (bytes, bytearray))
         else np.asarray(data, dtype=np.uint8)
     )
+    from phfpfac_tpu.compile import native
+
+    if native.available():
+        # match-dense corpora make this walk the e2e bottleneck; the
+        # threaded C++ path is ~10x the vectorized NumPy walk (the
+        # NumPy code below stays the semantics oracle,
+        # tests/test_native.py::test_decode_hits_native_parity)
+        return native.decode_hits_native(
+            hb, hit_pos, arr[:input_size], shard, min(max_steps, 32)
+        )
     # Walk backend: the PHF probe when it is already built, else the
     # dense trie table (one gather per step; keeps the decode path
     # from forcing the lazy FFDM pack, compile.tables.ShardTables).

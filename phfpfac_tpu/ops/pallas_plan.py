@@ -65,13 +65,15 @@ def _make_plan_kernel(
     steps: tuple,  # tuple[StepSpec]
     nb_p0: int, cb: int, p0_miss: int, p0_mode: str,
     emit_bitmap: bool, tiles_per_cell: int, cond_from: int,
-    tile_major: bool = False, grouped: bool = False,
+    grouped: bool = False, gmode: str = "loop",
 ):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     tpc = tiles_per_cell
     cbm = (1 << cb) - 1
     pair_mask = (1 << (2 * cb)) - 1
+    any_conds = len(steps) > cond_from
 
     def kernel(in_ref, halo_ref, shift_ref, p0_ref, m_ref, s_ref, *out_refs):
         cell = pl.program_id(0)
@@ -91,15 +93,25 @@ def _make_plan_kernel(
                 [block[rpc - _SUB + 1 : rpc, :], halo_ref[0:1, :]], axis=0
             )
         )
-        pos_s = [
-            (cell * tpc + i) * TILE + sub * _LANE + lane for i in range(tpc)
-        ]
+
+        def window(i: int, off: int):
+            """Tile i's pair-symbol stream at position p+off.
+
+            Computed DIRECTLY from the tile's two row blocks with two
+            static lane rotates + one static-mask select (cheaper than
+            the dynamic take_along_axis pair an incremental advance
+            needs, and it keeps ``cur`` out of the cond carry)."""
+            if off == 0:
+                return a_s[i]
+            ra = pltpu.roll(a_s[i], _LANE - off, axis=1)
+            rb = pltpu.roll(b_s[i], _LANE - off, axis=1)
+            return jnp.where(lane < _LANE - off, ra, rb)
 
         # prologue (offset 0): dense depths-1+2 probe, or a 1-bank
         # code-indexed s0 probe for wide alphabets.  p0_miss is THE
         # plan-wide dead sentinel (compile.plan builds every table
         # strictly below it).
-        curs, disps, cnts, bitss = [], [], [], []
+        disps, outs = [], []
         for i in range(tpc):
             cur = a_s[i]
             if p0_mode == "dense":
@@ -107,10 +119,13 @@ def _make_plan_kernel(
                 alive = v >= 0
                 fin1 = alive & ((v & 1) == 1)
                 fin2 = alive & ((v & 2) == 2)
-                cnts.append(fin1.astype(jnp.int32) + fin2.astype(jnp.int32))
                 if emit_bitmap:
-                    bitss.append(
+                    outs.append(
                         fin1.astype(jnp.int32) | jnp.where(fin2, 2, 0)
+                    )
+                else:
+                    outs.append(
+                        fin1.astype(jnp.int32) + fin2.astype(jnp.int32)
                     )
                 disps.append(
                     jnp.where(
@@ -121,52 +136,97 @@ def _make_plan_kernel(
                 v = _lut(p0_ref, cur & cbm, nb_p0)
                 alive = v >= 0
                 fin1 = alive & ((v & 1) == 1)
-                cnts.append(fin1.astype(jnp.int32))
-                if emit_bitmap:
-                    bitss.append(fin1.astype(jnp.int32))
+                outs.append(fin1.astype(jnp.int32))
                 disps.append(
                     jnp.where(
                         alive, jax.lax.shift_right_logical(v, 1), p0_miss
                     )
                 )
-            curs.append(cur)
 
-        # per-step window geometry (lane roll + boundary-column refill)
-        geoms = []
-        offset = 0
-        for sp in steps:
-            n_adv = (sp.depth0 - 1) - offset  # chars to advance (1 or 2)
-            offset = sp.depth0 - 1
-            geoms.append((
-                (lane + n_adv) & (_LANE - 1),          # lane_next
-                lane >= (_LANE - n_adv),                # at_tail
-                (jnp.broadcast_to(                      # bcol_idx
-                    jnp.int32(offset - _LANE), (_SUB, _LANE)
-                ) + lane) & (_LANE - 1),
-            ))
+        def any_live(disps):
+            """Scalar: does any walker still carry a live displacement?
+            Live disps are < the sentinel (strictly, by construction),
+            so one min-tree + scalar compare replaces per-tile
+            compare/or chains."""
+            t = disps[0]
+            for d in disps[1:]:
+                t = jnp.minimum(t, d)
+            return jnp.min(t) != p0_miss
 
-        def tile_advance(geom, b_i, cur):
-            """Advance one tile's pair-symbol window by the step stride."""
-            lane_next, at_tail, bcol_idx = geom
-            rolled = jnp.take_along_axis(cur, lane_next, axis=1)
-            bcol = jnp.take_along_axis(b_i, bcol_idx, axis=1)
-            return jnp.where(at_tail, bcol, rolled)
+        def probe_bounded(ref, idxs, live, off: int, nb: int, k0: int):
+            """Banked LUT over ONLY banks [k0, max-live-bank]: with the
+            profile-guided layout hot classes sit at low displacements,
+            so the dynamic bound collapses the scan to the live working
+            set.  Dead walkers are masked out of the bound and read the
+            -1 init (miss)."""
+            masked = [
+                jnp.where(live[i], idxs[i], -1) for i in range(tpc)
+            ]
+            t = masked[0]
+            for m in masked[1:]:
+                t = jnp.maximum(t, m)
+            mx = jnp.max(t)  # scalar: max live probe idx (-1 if none)
+            banks = [idx >> 7 for idx in idxs]
+            lanes = [idx & (_LANE - 1) for idx in idxs]
+            if gmode == "loop":
+                n = jnp.clip((mx >> 7) - k0 + 1, 0, nb)
 
-        def main_idx(sp, cur, disp):
-            return disp + (cur & cbm if sp.kind == "mono" else cur)
+                def body(k, accs):
+                    row = jnp.broadcast_to(
+                        ref[pl.ds(off + k, 1), :], (_SUB, _LANE)
+                    )
+                    kk = k + k0
+                    return tuple(
+                        jnp.where(
+                            banks[i] == kk,
+                            jnp.take_along_axis(row, lanes[i], axis=1),
+                            accs[i],
+                        )
+                        for i in range(tpc)
+                    )
 
-        def tile_finish(sp, cur, disp, cnt, bits, g, w_pre=None):
-            """Verify the main-table probe result ``g``, probe the side
-            table (pair steps; ``w_pre`` = grouped-scan result), update
-            cnt/bits, chain disp."""
+                init = tuple(
+                    jnp.full((_SUB, _LANE), -1, jnp.int32)
+                    for _ in range(tpc)
+                )
+                return list(jax.lax.fori_loop(0, n, body, init))
+            # "geo": unrolled geometric groups behind scalar preds
+            ends = _group_ends(nb)
+            accs = tuple(
+                _lut_range(
+                    ref, idxs[i],
+                    jnp.full(idxs[i].shape, -1, jnp.int32),
+                    0, ends[0], off, k0,
+                )
+                for i in range(tpc)
+            )
+            for lo, hi in zip(ends[:-1], ends[1:]):
+                def probe(accs, lo=lo, hi=hi):
+                    return tuple(
+                        _lut_range(ref, idxs[i], accs[i], lo, hi, off, k0)
+                        for i in range(tpc)
+                    )
+
+                accs = jax.lax.cond(
+                    mx >= ((k0 + lo) << 7), probe, lambda a: a, accs
+                )
+            return list(accs)
+
+        def finish(sp, cur, disp, out, g, w):
+            """Verify probe g (side word w for pair steps), update the
+            per-tile output accumulator, chain disp.  No ``g >= 0``
+            guard: compile guarantees every real symbol is strictly
+            below the sym-field mask (collect_alphabet), so the -1 miss
+            can never verify."""
             bit0 = sp.depth0 - 1
             if sp.kind == "mono":
                 sym = cur & cbm
-                hit = (g >= 0) & ((g & cbm) == sym)
+                hit = (g & cbm) == sym
                 fin = hit & ((g & (1 << cb)) != 0)
-                cnt = cnt + fin.astype(jnp.int32)
                 if emit_bitmap:
-                    bits = bits | jnp.where(fin, jnp.int32(1) << bit0, 0)
+                    out = out | jnp.where(fin, jnp.int32(1) << bit0, 0)
+                else:
+                    out = out + fin.astype(jnp.int32)
                 disp = jnp.where(
                     hit, jax.lax.shift_right_logical(g, cb + 1), sp.miss
                 )
@@ -176,225 +236,118 @@ def _make_plan_kernel(
                 a1 = cur & cbm
                 sidx = disp + a1
                 if sp.s_nibble:
-                    w = w_pre if w_pre is not None else _lut(
-                        s_ref, jax.lax.shift_right_logical(sidx, 3),
-                        sp.s_nb, sp.s_off, sp.s_k0,
-                    )
                     nib = (
                         jax.lax.shift_right_logical(w, (sidx & 7) << 2)
                     ) & 15
                     fin_mid = nib == (a1 & 7) + 1
                 else:
-                    w = w_pre if w_pre is not None else _lut(
-                        s_ref, jax.lax.shift_right_logical(sidx, 2),
-                        sp.s_nb, sp.s_off, sp.s_k0,
-                    )
                     byte = (
                         jax.lax.shift_right_logical(w, (sidx & 3) << 3)
                     ) & 255
                     fin_mid = byte == a1 + 1
-                hit = (g >= 0) & ((g & pair_mask) == cur)
+                hit = (g & pair_mask) == cur
                 fin_end = hit & ((g & (1 << (2 * cb))) != 0)
-                cnt = (
-                    cnt + fin_mid.astype(jnp.int32)
-                    + fin_end.astype(jnp.int32)
-                )
                 if emit_bitmap:
-                    bits = (
-                        bits
+                    out = (
+                        out
                         | jnp.where(fin_mid, jnp.int32(1) << bit0, 0)
                         | jnp.where(fin_end, jnp.int32(1) << (bit0 + 1), 0)
+                    )
+                else:
+                    out = (
+                        out + fin_mid.astype(jnp.int32)
+                        + fin_end.astype(jnp.int32)
                     )
                 disp = jnp.where(
                     hit, jax.lax.shift_right_logical(g, 2 * cb + 1), sp.miss
                 )
-            return disp, cnt, bits
+            return disp, out
 
-        def tile_step(sp, geom, b_i, cur, disp, cnt, bits):
-            """One walk step for ONE (8,128) tile; returns the new
-            (cur, disp, cnt, bits)."""
-            cur = tile_advance(geom, b_i, cur)
-            g = _lut(m_ref, main_idx(sp, cur, disp), sp.nb, sp.off, sp.k0)
-            disp, cnt, bits = tile_finish(sp, cur, disp, cnt, bits, g)
-            return cur, disp, cnt, bits
-
-        if tile_major:
-            # steps INNER, tiles outer: one tile's carry stays live
-            # through the walk and the early exit is per 1024-position
-            # tile.  MEASURED SLOWER on v5e (english 32 MiB: 0.57 vs
-            # 1.12 GB/s, and 4x the Mosaic compile time) — the per-
-            # tile conds and per-tile bank reloads cost more than the
-            # big-carry scheduling they replace.  Kept as an
-            # experiment knob; default stays step-major.
-            cnts_o, bitss_o = [], []
-            for i in range(tpc):
-                c = (curs[i], disps[i], cnts[i]) + (
-                    (bitss[i],) if emit_bitmap else ()
-                )
-                for si, sp in enumerate(steps):
-                    def body(c, sp=sp, g=geoms[si], i=i):
-                        r = tile_step(
-                            sp, g, b_s[i], c[0], c[1], c[2],
-                            c[3] if emit_bitmap else None,
-                        )
-                        return r[:4] if emit_bitmap else r[:3]
-
-                    if si < cond_from:
-                        c = body(c)
-                    else:
-                        c = jax.lax.cond(
-                            jnp.any(c[1] != p0_miss), body, lambda c: c, c
-                        )
-                cnts_o.append(c[2])
-                bitss_o.append(c[3] if emit_bitmap else None)
-            cnts, bitss = cnts_o, bitss_o
-        else:
-            carry = (tuple(curs), tuple(disps), tuple(cnts)) + (
-                (tuple(bitss),) if emit_bitmap else ()
+        def make_step(si: int, sp):
+            off_chars = sp.depth0 - 1
+            bound_main = grouped and sp.nb >= _GROUP_MIN_NB
+            bound_side = (
+                sp.kind == "pair" and grouped and sp.s_nb >= _GROUP_MIN_NB
             )
-            # count mode excludes the bitmap tiles from the carry —
-            # lax.cond copies every carried vreg on a skipped step
-            for si, sp in enumerate(steps):
-                use_groups = grouped and sp.nb >= _GROUP_MIN_NB
+            # the NEXT cond's pred is this step's post-update liveness,
+            # carried as a scalar so skipped steps pay nothing
+            need_alive = any_conds and si >= cond_from - 1
+            wshift = 3 if sp.s_nibble else 2
 
-                def step(carry, sp=sp, g=geoms[si], use_groups=use_groups):
-                    curs, disps, cnts = (
-                        list(carry[0]), list(carry[1]), list(carry[2])
-                    )
-                    bitss = list(carry[3]) if emit_bitmap else None
-                    if use_groups:
-                        # phase A: advance windows, compute probe idxs
-                        idxs, widxs = [], []
-                        group_side = (
-                            sp.kind == "pair" and sp.s_nb >= _GROUP_MIN_NB
-                        )
-                        wshift = 3 if sp.s_nibble else 2
-                        for i in range(tpc):
-                            curs[i] = tile_advance(g, b_s[i], curs[i])
-                            idxs.append(main_idx(sp, curs[i], disps[i]))
-                            if group_side:
-                                widxs.append(
-                                    jax.lax.shift_right_logical(
-                                        disps[i] + (curs[i] & cbm), wshift
-                                    )
-                                )
-                        # phase B: grouped main-table scan.  Group 0
-                        # unconditional; each later group runs only
-                        # while some LIVE walker's bank lies beyond
-                        # the boundary (dead walkers carry the miss
-                        # sentinel, whose bank is past every table).
-                        ends = _group_ends(sp.nb)
-                        accs = tuple(
-                            _lut_range(
-                                m_ref, idxs[i],
-                                jnp.full(idxs[i].shape, -1, jnp.int32),
-                                0, ends[0], sp.off, sp.k0,
-                            )
-                            for i in range(tpc)
-                        )
-                        for lo, hi in zip(ends[:-1], ends[1:]):
-                            def probe(accs, lo=lo, hi=hi):
-                                return tuple(
-                                    _lut_range(
-                                        m_ref, idxs[i], accs[i], lo, hi,
-                                        sp.off, sp.k0,
-                                    )
-                                    for i in range(tpc)
-                                )
-
-                            bnd = (sp.k0 + lo) << 7
-                            pend = (disps[0] != sp.miss) & (idxs[0] >= bnd)
-                            for i in range(1, tpc):
-                                pend = pend | (
-                                    (disps[i] != sp.miss) & (idxs[i] >= bnd)
-                                )
-                            accs = jax.lax.cond(
-                                jnp.any(pend), probe, lambda a: a, accs
-                            )
-                        # grouped SIDE scan (pair steps with big side
-                        # tables): same structure over the packed words
-                        waccs = [None] * tpc
-                        if group_side:
-                            s_ends = _group_ends(sp.s_nb)
-                            waccs = tuple(
-                                _lut_range(
-                                    s_ref, widxs[i],
-                                    jnp.full(
-                                        widxs[i].shape, -1, jnp.int32
-                                    ),
-                                    0, s_ends[0], sp.s_off, sp.s_k0,
-                                )
-                                for i in range(tpc)
-                            )
-                            for lo, hi in zip(s_ends[:-1], s_ends[1:]):
-                                def sprobe(waccs, lo=lo, hi=hi):
-                                    return tuple(
-                                        _lut_range(
-                                            s_ref, widxs[i], waccs[i],
-                                            lo, hi, sp.s_off, sp.s_k0,
-                                        )
-                                        for i in range(tpc)
-                                    )
-
-                                bnd = (sp.s_k0 + lo) << 7
-                                pend = (
-                                    (disps[0] != sp.miss)
-                                    & (widxs[0] >= bnd)
-                                )
-                                for i in range(1, tpc):
-                                    pend = pend | (
-                                        (disps[i] != sp.miss)
-                                        & (widxs[i] >= bnd)
-                                    )
-                                waccs = jax.lax.cond(
-                                    jnp.any(pend), sprobe, lambda a: a,
-                                    waccs,
-                                )
-                        # phase C: verify + update per tile
-                        for i in range(tpc):
-                            disps[i], cnts[i], new_bits = tile_finish(
-                                sp, curs[i], disps[i], cnts[i],
-                                bitss[i] if emit_bitmap else None,
-                                accs[i], w_pre=waccs[i],
-                            )
-                            if emit_bitmap:
-                                bitss[i] = new_bits
-                    else:
-                        for i in range(tpc):
-                            r = tile_step(
-                                sp, g, b_s[i], curs[i], disps[i], cnts[i],
-                                bitss[i] if emit_bitmap else None,
-                            )
-                            curs[i], disps[i], cnts[i] = r[0], r[1], r[2]
-                            if emit_bitmap:
-                                bitss[i] = r[3]
-                    out = (tuple(curs), tuple(disps), tuple(cnts))
-                    return out + ((tuple(bitss),) if emit_bitmap else ())
-
-                if si < cond_from:
-                    carry = step(carry)
+            def step(carry):
+                disps, outs = list(carry[0]), list(carry[1])
+                curs = [window(i, off_chars) for i in range(tpc)]
+                if sp.kind == "mono":
+                    idxs = [
+                        disps[i] + (curs[i] & cbm) for i in range(tpc)
+                    ]
                 else:
-                    # p0_miss is the plan-wide sentinel: valid whether
-                    # the previous step ran or was itself skipped
-                    alive = carry[1][0] != p0_miss
-                    for dsp in carry[1][1:]:
-                        alive = alive | (dsp != p0_miss)
-                    carry = jax.lax.cond(
-                        jnp.any(alive), step, lambda c: c, carry
+                    idxs = [disps[i] + curs[i] for i in range(tpc)]
+                live = None
+                if bound_main or bound_side:
+                    live = [disps[i] != sp.miss for i in range(tpc)]
+                if bound_main:
+                    gs = probe_bounded(
+                        m_ref, idxs, live, sp.off, sp.nb, sp.k0
                     )
-            cnts = carry[2]
-            bitss = carry[3] if emit_bitmap else None
+                else:
+                    gs = [
+                        _lut(m_ref, idxs[i], sp.nb, sp.off, sp.k0)
+                        for i in range(tpc)
+                    ]
+                ws = [None] * tpc
+                if sp.kind == "pair":
+                    widxs = [
+                        jax.lax.shift_right_logical(
+                            disps[i] + (curs[i] & cbm), wshift
+                        )
+                        for i in range(tpc)
+                    ]
+                    if bound_side:
+                        ws = probe_bounded(
+                            s_ref, widxs, live, sp.s_off, sp.s_nb, sp.s_k0
+                        )
+                    else:
+                        ws = [
+                            _lut(s_ref, widxs[i], sp.s_nb, sp.s_off,
+                                 sp.s_k0)
+                            for i in range(tpc)
+                        ]
+                for i in range(tpc):
+                    disps[i], outs[i] = finish(
+                        sp, curs[i], disps[i], outs[i], gs[i], ws[i]
+                    )
+                alive = any_live(disps) if need_alive else carry[2]
+                return (tuple(disps), tuple(outs), alive)
+
+            return step
+
+        alive0 = jnp.bool_(True)
+        if any_conds and cond_from == 0:
+            alive0 = any_live(disps)
+        carry = (tuple(disps), tuple(outs), alive0)
+        for si, sp in enumerate(steps):
+            body = make_step(si, sp)
+            if si < cond_from:
+                carry = body(carry)
+            else:
+                carry = jax.lax.cond(carry[2], body, lambda c: c, carry)
+        outs = carry[1]
+
         if emit_bitmap:
             cnt_ref, bits_ref = out_refs
             for i in range(tpc):
-                cnt_ref[pl.ds(i * _SUB, _SUB), :] = cnts[i]
-                bits_ref[pl.ds(i * _SUB, _SUB), :] = bitss[i]
+                cnt_ref[pl.ds(i * _SUB, _SUB), :] = (
+                    jax.lax.population_count(outs[i])
+                )
+                bits_ref[pl.ds(i * _SUB, _SUB), :] = outs[i]
         else:
             (partial_ref,) = out_refs
             shift = shift_ref[0]
             acc = jnp.zeros((_SUB, _LANE), jnp.int32)
             for i in range(tpc):
-                acc = acc + jnp.where(pos_s[i] >= shift, cnts[i], 0)
+                pos = (cell * tpc + i) * TILE + sub * _LANE + lane
+                acc = acc + jnp.where(pos >= shift, outs[i], 0)
             partial_ref[:, :] = acc
 
     return kernel
@@ -402,8 +355,18 @@ def _make_plan_kernel(
 
 _STATICS = (
     "steps", "nb_p0", "cb", "p0_miss", "p0_mode", "interpret", "tpc",
-    "cond_from", "tile_major", "grouped",
+    "cond_from", "grouped", "gmode",
 )
+
+
+def _default_gmode() -> str:
+    """Bounded-scan strategy for big tables: "loop" = fori_loop with
+    a dynamic bank bound from the max live probe index (default);
+    "geo" = unrolled geometric groups behind scalar lax.cond preds
+    (A/B experiment knob)."""
+    import os
+
+    return os.environ.get("PHFPFAC_GMODE", "loop")
 
 
 def _specs(tpc):
@@ -424,7 +387,7 @@ def _specs(tpc):
 def _plan_scan_bitmap(
     data2d, s0_dummy, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
-    tile_major=False, grouped=False,
+    grouped=False, gmode="loop",
 ):
     from jax.experimental import pallas as pl
 
@@ -432,7 +395,7 @@ def _plan_scan_bitmap(
     kernel = _make_plan_kernel(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=True, tiles_per_cell=tpc, cond_from=cond_from,
-        tile_major=tile_major, grouped=grouped,
+        grouped=grouped, gmode=gmode,
     )
     rows_pc = tpc * _SUB
     cnt, bits = pl.pallas_call(
@@ -456,7 +419,7 @@ def _plan_scan_bitmap(
 def _plan_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
-    tile_major=False, grouped=False,
+    grouped=False, gmode="loop",
 ):
     from jax.experimental import pallas as pl
 
@@ -464,7 +427,7 @@ def _plan_scan_count(
     kernel = _make_plan_kernel(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=False, tiles_per_cell=tpc, cond_from=cond_from,
-        tile_major=tile_major, grouped=grouped,
+        grouped=grouped, gmode=gmode,
     )
     partial = pl.pallas_call(
         kernel,
@@ -481,18 +444,12 @@ class PlanShardScanner:
     """Bitmap-mode hybrid-stride scanner for one shard (exact mode)."""
 
     def __init__(self, shard: ShardTables, *, interpret: bool = False,
-                 tpc: int = 32, cond_from: int = 4,
-                 tile_major: bool = False, train=None):
-        # the tile-major experiment path has no grouped-scan support;
-        # training would silently lose its effect there
-        if tile_major and train is not None:
-            raise ValueError("tile_major does not support trained tables")
+                 tpc: int = 32, cond_from: int = 4, train=None):
         self.pt: PlanTables = build_plan_tables(shard, train=train)
         self.shard = shard
         self.interpret = interpret
         self.tpc = tpc
         self.cond_from = cond_from
-        self.tile_major = tile_major
         self._code = jnp.asarray(self.pt.code_of)
 
     def _statics(self):
@@ -501,8 +458,8 @@ class PlanShardScanner:
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
             interpret=self.interpret, tpc=self.tpc,
-            cond_from=self.cond_from, tile_major=self.tile_major,
-            grouped=pt.trained,
+            cond_from=self.cond_from, grouped=pt.trained,
+            gmode=_default_gmode(),
         )
 
     def scan(self, data_padded, input_size, cfg, max_steps):
@@ -527,15 +484,12 @@ class PlanCountScan:
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
                  interpret: bool = False, tpc: int = 32, cond_from: int = 4,
-                 tile_major: bool = False, train=None):
-        if tile_major and train is not None:
-            raise ValueError("tile_major does not support trained tables")
+                 train=None):
         self.pt = build_plan_tables(shard, train=train)
         self.max_steps = max_steps
         self.interpret = interpret
         self.tpc = tpc
         self.cond_from = cond_from
-        self.tile_major = tile_major
         self._code = jnp.asarray(self.pt.code_of)
         self._p0 = jnp.asarray(self.pt.p0_banks)
         self._m = jnp.asarray(self.pt.packed_banks)
@@ -556,8 +510,8 @@ class PlanCountScan:
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
             interpret=self.interpret, tpc=self.tpc,
-            cond_from=self.cond_from, tile_major=self.tile_major,
-            grouped=pt.trained,
+            cond_from=self.cond_from, grouped=pt.trained,
+            gmode=_default_gmode(),
         )
 
     def __call__(self, data_padded, input_size, shift):

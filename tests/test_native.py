@@ -161,3 +161,100 @@ class TestNativeParity:
         off_cc, len_cc = res
         assert len_cc == len_np
         np.testing.assert_array_equal(off_cc, off_np)
+
+
+def test_decode_hits_native_parity():
+    """Threaded C++ bitmap decode == NumPy decode (the oracle), over
+    random dictionaries/corpora, both PHF and dense-trie walk
+    backends."""
+    from phfpfac_tpu.compile.native import available, decode_hits_native
+    from phfpfac_tpu.compile.tables import compile_patterns
+    from phfpfac_tpu.frontend.patterns import Pattern
+    from phfpfac_tpu.oracle.ac import match_oracle
+    from phfpfac_tpu.ops.common import padded_steps
+    from phfpfac_tpu.utils.config import PfacConfig
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(5)
+    for trial, sig in enumerate((27, 256, 5)):
+        alpha = rng.integers(0, 256, sig, dtype=np.uint8)
+        words = list(dict.fromkeys(
+            bytes(rng.choice(alpha, int(rng.integers(1, 12))))
+            for _ in range(300)
+        ))
+        pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+        cfg = PfacConfig(width=1024, num_shards=1, truncation="none")
+        compiled = compile_patterns(pats, cfg)
+        sh = compiled.shards[0]
+        data = bytes(rng.choice(alpha, 20000))
+        n = len(data)
+        ms = padded_steps(compiled.max_pat_len)
+        # bitmap from the oracle: bit (len-1) at each match position
+        # (the kernels' contract, ops/pallas_scan.py docstring)
+        plen = {pt.pattern_id: len(pt.data) for pt in pats}
+        bits = np.zeros(n, dtype=np.uint32)
+        for pos, pid in match_oracle(pats, data, cfg):
+            bits[pos] |= np.uint32(1) << np.uint32(plen[pid] - 1)
+        hit_pos = np.nonzero(bits)[0].astype(np.int64)
+        hb = bits[hit_pos]
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if trial == 0:
+            sh.ensure_phf()  # exercise the PHF walk backend
+        assert hit_pos.size > 0
+        got = decode_hits_native(hb, hit_pos, arr, sh, min(ms, 32))
+        want = _numpy_decode(hb, hit_pos, arr, sh, min(ms, 32))
+        assert len(got) == int(np.bitwise_count(hb).sum())
+        np.testing.assert_array_equal(got, want)
+
+
+def _numpy_decode(hb, hit_pos, arr, shard, max_t):
+    """The pre-native NumPy decode (kept verbatim as the oracle)."""
+    use_phf = shard.has_phf
+    if use_phf:
+        width_bit = shard.width_bit
+        width_m1 = shard.width - 1
+        ht_size = shard.ht_size
+    else:
+        dense = shard.dense_table()
+    k = shard.final_state_num
+    n = len(arr)
+    state = shard.s0[arr[hit_pos]].astype(np.int64)
+    out = []
+
+    def record(t, state):
+        sel = ((hb >> np.uint32(t)) & np.uint32(1)).astype(bool)
+        sel &= (state >= 0) & (state < k)
+        if sel.any():
+            out.append(np.stack(
+                [hit_pos[sel], np.full(sel.sum(), t, np.int64), state[sel]],
+                axis=1))
+
+    record(0, state)
+    for t in range(1, max_t):
+        if not (state >= 0).any():
+            break
+        idx_c = np.minimum(hit_pos + t, n - 1)
+        ch = arr[idx_c].astype(np.int64)
+        alive = (state >= 0) & (hit_pos + t < n)
+        if use_phf:
+            key = np.where(state >= 0, state, 0) * 256 + ch
+            row = key >> width_bit
+            col = key & width_m1
+            row_ok = alive & (row < len(shard.r))
+            ridx = shard.r[np.clip(row, 0, len(shard.r) - 1)] + col
+            ok = row_ok & (ridx >= 0) & (ridx < ht_size)
+            ridx_c = np.clip(ridx, 0, max(ht_size - 1, 0))
+            ok &= shard.ht[ridx_c] == row
+            state = np.where(ok, shard.val[ridx_c], -1).astype(np.int64)
+        else:
+            nxt = dense[np.where(alive, state, 0), ch]
+            state = np.where(alive, nxt, -1).astype(np.int64)
+        record(t, state)
+    if not out:
+        return np.empty((0, 3), dtype=np.int64)
+    m = np.concatenate(out)
+    return m[np.lexsort((m[:, 1], m[:, 0]))]

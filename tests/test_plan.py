@@ -123,9 +123,12 @@ class TestLongTailSplit:
         assert got == match_oracle(pats, data, cfg)
 
 
-def test_tile_major_variant_parity():
-    """The tile-major kernel ordering (experiment knob) must produce
-    identical counts/bitmaps to the default step-major ordering."""
+def test_bounded_scan_modes_parity():
+    """Both bounded-bank-scan strategies ("loop" fori with a dynamic
+    bound, "geo" geometric groups behind scalar preds) must produce
+    identical counts/bitmaps to the unbounded untrained scan."""
+    import os
+
     from phfpfac_tpu.ops.pallas_plan import PlanShardScanner
 
     rng = np.random.default_rng(17)
@@ -143,11 +146,25 @@ def test_tile_major_variant_parity():
     n = len(data)
     c1, b1 = map(np.asarray,
                  PlanShardScanner(sh, interpret=True).scan(padded, n, cfg, ms))
-    c2, b2 = map(np.asarray,
-                 PlanShardScanner(sh, interpret=True, tile_major=True)
-                 .scan(padded, n, cfg, ms))
-    np.testing.assert_array_equal(c1[:n], c2[:n])
-    np.testing.assert_array_equal(b1[:n], b2[:n])
+    results = {}
+    # GROUP_MIN_NB would keep these small tables unbounded; force the
+    # bounded path by monkeypatching the threshold
+    import phfpfac_tpu.ops.pallas_plan as pp
+
+    orig = pp._GROUP_MIN_NB
+    try:
+        pp._GROUP_MIN_NB = 1
+        for mode in ("loop", "geo"):
+            os.environ["PHFPFAC_GMODE"] = mode
+            sc = PlanShardScanner(sh, interpret=True, train=data)
+            assert sc.pt.trained
+            results[mode] = map(np.asarray, sc.scan(padded, n, cfg, ms))
+    finally:
+        pp._GROUP_MIN_NB = orig
+        os.environ.pop("PHFPFAC_GMODE", None)
+    for mode, (c2, b2) in results.items():
+        np.testing.assert_array_equal(c1[:n], c2[:n], err_msg=mode)
+        np.testing.assert_array_equal(b1[:n], b2[:n], err_msg=mode)
     assert c1[:n].sum() == len(match_oracle(pats, data, cfg))
 
 
