@@ -25,7 +25,8 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mib", type=int, default=32)
-    ap.add_argument("--dict", default="english", choices=["english", "big"])
+    ap.add_argument("--dict", default="english",
+                    choices=["english", "xaa", "big"])
     ap.add_argument("--untrained", action="store_true")
     ap.add_argument("--tpc", type=int, default=32)
     ap.add_argument("--cond-from", type=int, default=4)
@@ -41,7 +42,9 @@ def main() -> None:
     from phfpfac_tpu.utils.config import PfacConfig
 
     words: list[bytes] = []
-    if args.dict == "english":
+    if args.dict == "xaa":
+        words = open("/root/reference/regex_GPU_PHF/xaa", "rb").read().split()
+    elif args.dict == "english":
         for part in ("xaa", "xab", "xac", "xad"):
             words += open(
                 f"/root/reference/regex_GPU_PHF/{part}", "rb"

@@ -44,7 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="GPU_match_result.txt")
     p.add_argument("--num-shards", type=int, default=None,
                    help="override shard count (default 4*streamnum)")
-    p.add_argument("--engine", choices=["turbo", "jnp", "pallas"], default="turbo")
+    p.add_argument("--engine", choices=["turbo", "jnp", "pallas"],
+                   default="pallas",
+                   help="pallas = the TPU kernels (plan/pair/depth, "
+                        "segment-cut aware) with exact-XLA fallbacks; "
+                        "turbo/jnp = portable XLA engines")
     p.add_argument("--exact", action="store_true",
                    help="disable reference segment+halo walk truncation")
     p.add_argument("--full-input", action="store_true",

@@ -157,11 +157,17 @@ def build_plan_tables(
 
     # ---- alphabet coding --------------------------------------------------
     # beyond cb=6 the dense sigma^2 depths-1+2 table would cost 128
-    # banks per position; a 1-bank code-indexed s0 prologue replaces it
-    code_of, _sigma, cb = collect_alphabet(shard, lv, max_sigma=127)
+    # banks per position; a code-indexed s0 prologue replaces it.  Full
+    # binary alphabets (sigma up to 256 — ClamAV-style byte signatures,
+    # the reference kernel's native regime, master_kernel.cu:52-54) are
+    # supported with MONO-ONLY steps: pair fusion needs
+    # ht_len + 2^2cb below the pair-width sentinel, impossible past
+    # cb=7, so those candidates are not even laid out.
+    code_of, _sigma, cb = collect_alphabet(shard, lv, max_sigma=256)
     pair_span = 1 << (2 * cb)
     mono_span = 1 << cb
     p0_mode = "dense" if pair_span <= 4096 else "s0"
+    pair_feasible = cb <= 7
 
     # ---- exact-cost DP over step kinds ------------------------------------
     # With the native layout, BOTH candidates are laid out at every
@@ -203,7 +209,8 @@ def build_plan_tables(
         else:
             est_len = int(len(cols) / 0.8) + 1
             mono_cand[d].update(ht_len=est_len, banks=est_len / 128.0)
-        if li + 1 <= D - 1:  # a pair step needs an odd level to fuse
+        if pair_feasible and li + 1 <= D - 1:
+            # a pair step needs an odd level to fuse
             join = _pair_join(lv, li, code_of, cb)
             p_offs, pair, _end, s_offs, side = join
             pair_cand[d] = dict(join=join, w=w)

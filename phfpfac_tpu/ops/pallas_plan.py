@@ -65,7 +65,8 @@ def _make_plan_kernel(
     steps: tuple,  # tuple[StepSpec]
     nb_p0: int, cb: int, p0_miss: int, p0_mode: str,
     emit_bitmap: bool, tiles_per_cell: int, cond_from: int,
-    grouped: bool = False, gmode: str = "loop",
+    grouped: bool = False, gmode: str = "geo",
+    seg_bytes: int = 0, halo_bytes: int = 0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -74,6 +75,13 @@ def _make_plan_kernel(
     cbm = (1 << cb) - 1
     pair_mask = (1 << (2 * cb)) - 1
     any_conds = len(steps) > cond_from
+    # segment truncation (reference master_kernel.cu:141-144): walks may
+    # read only chars below segment_end + halo.  Chars past input_size
+    # die via the staging pad, so the in-kernel limit needs no
+    # input_size term.  seg_bytes == 0 = exact mode.
+    seg_on = seg_bytes > 0
+    if seg_on:
+        assert seg_bytes & (seg_bytes - 1) == 0, "segment must be 2^k"
 
     def kernel(in_ref, halo_ref, shift_ref, p0_ref, m_ref, s_ref, *out_refs):
         cell = pl.program_id(0)
@@ -93,6 +101,15 @@ def _make_plan_kernel(
                 [block[rpc - _SUB + 1 : rpc, :], halo_ref[0:1, :]], axis=0
             )
         )
+        d_s = None
+        if seg_on:
+            # chars-remaining-before-cut per walker: a step consuming
+            # char offset o is allowed iff d > o (one compare per step)
+            d_s = []
+            for i in range(tpc):
+                pos = (cell * tpc + i) * TILE + sub * _LANE + lane
+                lim = (pos & ~(seg_bytes - 1)) + (seg_bytes + halo_bytes)
+                d_s.append(lim - pos)
 
         def window(i: int, off: int):
             """Tile i's pair-symbol stream at position p+off.
@@ -119,6 +136,8 @@ def _make_plan_kernel(
                 alive = v >= 0
                 fin1 = alive & ((v & 1) == 1)
                 fin2 = alive & ((v & 2) == 2)
+                if seg_on:
+                    fin2 = fin2 & (d_s[i] > 1)
                 if emit_bitmap:
                     outs.append(
                         fin1.astype(jnp.int32) | jnp.where(fin2, 2, 0)
@@ -212,7 +231,7 @@ def _make_plan_kernel(
                 )
             return list(accs)
 
-        def finish(sp, cur, disp, out, g, w):
+        def finish(sp, cur, disp, out, g, w, ok2=None):
             """Verify probe g (side word w for pair steps), update the
             per-tile output accumulator, chain disp.  No ``g >= 0``
             guard: compile guarantees every real symbol is strictly
@@ -246,6 +265,10 @@ def _make_plan_kernel(
                     ) & 255
                     fin_mid = byte == a1 + 1
                 hit = (g & pair_mask) == cur
+                if ok2 is not None:
+                    # segment cut between the pair's two chars: the mid
+                    # completion stands, the end match and chain do not
+                    hit = hit & ok2
                 fin_end = hit & ((g & (1 << (2 * cb))) != 0)
                 if emit_bitmap:
                     out = (
@@ -265,9 +288,10 @@ def _make_plan_kernel(
 
         def make_step(si: int, sp):
             off_chars = sp.depth0 - 1
-            bound_main = grouped and sp.nb >= _GROUP_MIN_NB
+            bounding = grouped and gmode != "none"
+            bound_main = bounding and sp.nb >= _GROUP_MIN_NB
             bound_side = (
-                sp.kind == "pair" and grouped and sp.s_nb >= _GROUP_MIN_NB
+                sp.kind == "pair" and bounding and sp.s_nb >= _GROUP_MIN_NB
             )
             # the NEXT cond's pred is this step's post-update liveness,
             # carried as a scalar so skipped steps pay nothing
@@ -276,6 +300,11 @@ def _make_plan_kernel(
 
             def step(carry):
                 disps, outs = list(carry[0]), list(carry[1])
+                if seg_on:
+                    disps = [
+                        jnp.where(d_s[i] > off_chars, disps[i], sp.miss)
+                        for i in range(tpc)
+                    ]
                 curs = [window(i, off_chars) for i in range(tpc)]
                 if sp.kind == "mono":
                     idxs = [
@@ -314,8 +343,11 @@ def _make_plan_kernel(
                             for i in range(tpc)
                         ]
                 for i in range(tpc):
+                    ok2 = None
+                    if seg_on and sp.kind == "pair":
+                        ok2 = d_s[i] > off_chars + 1
                     disps[i], outs[i] = finish(
-                        sp, curs[i], disps[i], outs[i], gs[i], ws[i]
+                        sp, curs[i], disps[i], outs[i], gs[i], ws[i], ok2
                     )
                 alive = any_live(disps) if need_alive else carry[2]
                 return (tuple(disps), tuple(outs), alive)
@@ -355,18 +387,20 @@ def _make_plan_kernel(
 
 _STATICS = (
     "steps", "nb_p0", "cb", "p0_miss", "p0_mode", "interpret", "tpc",
-    "cond_from", "grouped", "gmode",
+    "cond_from", "grouped", "gmode", "seg_bytes", "halo_bytes",
 )
 
 
 def _default_gmode() -> str:
-    """Bounded-scan strategy for big tables: "loop" = fori_loop with
-    a dynamic bank bound from the max live probe index (default);
-    "geo" = unrolled geometric groups behind scalar lax.cond preds
-    (A/B experiment knob)."""
+    """Bounded-scan strategy for big tables: "geo" = unrolled geometric
+    groups behind scalar preds from the max live probe index (default;
+    measured 1.31 vs 0.90 GB/s unbounded, english 8 MiB); "loop" =
+    fori_loop with a dynamic bank bound (measured FAR slower — the
+    per-bank dynamic row loads and while-loop scheduling defeat Mosaic
+    pipelining); "none" = unbounded full scans (diagnostic)."""
     import os
 
-    return os.environ.get("PHFPFAC_GMODE", "loop")
+    return os.environ.get("PHFPFAC_GMODE", "geo")
 
 
 def _specs(tpc):
@@ -387,7 +421,7 @@ def _specs(tpc):
 def _plan_scan_bitmap(
     data2d, s0_dummy, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
-    grouped=False, gmode="loop",
+    grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
 ):
     from jax.experimental import pallas as pl
 
@@ -395,7 +429,8 @@ def _plan_scan_bitmap(
     kernel = _make_plan_kernel(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=True, tiles_per_cell=tpc, cond_from=cond_from,
-        grouped=grouped, gmode=gmode,
+        grouped=grouped, gmode=gmode, seg_bytes=seg_bytes,
+        halo_bytes=halo_bytes,
     )
     rows_pc = tpc * _SUB
     cnt, bits = pl.pallas_call(
@@ -419,7 +454,7 @@ def _plan_scan_bitmap(
 def _plan_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
-    grouped=False, gmode="loop",
+    grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
 ):
     from jax.experimental import pallas as pl
 
@@ -427,7 +462,8 @@ def _plan_scan_count(
     kernel = _make_plan_kernel(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=False, tiles_per_cell=tpc, cond_from=cond_from,
-        grouped=grouped, gmode=gmode,
+        grouped=grouped, gmode=gmode, seg_bytes=seg_bytes,
+        halo_bytes=halo_bytes,
     )
     partial = pl.pallas_call(
         kernel,
@@ -463,8 +499,13 @@ class PlanShardScanner:
         )
 
     def scan(self, data_padded, input_size, cfg, max_steps):
+        seg, halo = 0, 0
         if cfg.truncation == "segment":
-            raise PairUnsupported("segment truncation needs stride-1")
+            # the in-kernel cut needs a power-of-two segment (one
+            # and-not per tile); other geometries fall back
+            if cfg.segment_bytes & (cfg.segment_bytes - 1):
+                raise PairUnsupported("segment size must be a power of 2")
+            seg, halo = cfg.segment_bytes, cfg.halo_bytes
         n_pos = len(data_padded) - max_steps
         data2d = stage_pairs(
             jnp.asarray(data_padded), jnp.asarray(np.int32(input_size)),
@@ -475,6 +516,7 @@ class PlanShardScanner:
             jnp.asarray(self.pt.p0_banks),
             jnp.asarray(self.pt.packed_banks),
             jnp.asarray(self.pt.side_banks),
+            seg_bytes=seg, halo_bytes=halo,
             **self._statics(),
         )
 

@@ -200,11 +200,16 @@ class Matcher:
         import importlib
 
         makers = []
-        if self.config.truncation != "segment":
-            makers += [
-                ("phfpfac_tpu.ops.pallas_plan", "PlanShardScanner"),
-                ("phfpfac_tpu.ops.pallas_pair", "PairShardScanner"),
-            ]
+        seg = self.config.truncation == "segment"
+        if not seg or self.config.segment_bytes & (
+            self.config.segment_bytes - 1
+        ) == 0:
+            # the plan kernel expresses the reference's segment cut as a
+            # per-position step limit (power-of-two segments), so the
+            # parity-default CLI config rides the fastest engine too
+            makers.append(("phfpfac_tpu.ops.pallas_plan", "PlanShardScanner"))
+        if not seg:
+            makers.append(("phfpfac_tpu.ops.pallas_pair", "PairShardScanner"))
         makers.append(("phfpfac_tpu.ops.pallas_depth", "DepthShardScanner"))
         for mod, cls_name in makers:
             try:

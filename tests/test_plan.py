@@ -1,6 +1,7 @@
 """Cost-planned hybrid-stride kernel (ops.pallas_plan) parity."""
 
 import numpy as np
+import pytest
 
 from phfpfac_tpu.compile.plan import build_plan_tables
 from phfpfac_tpu.compile.tables import compile_patterns
@@ -252,3 +253,36 @@ def test_matcher_auto_trains_on_first_input():
     got2 = [tuple(x) for x in m.match(data2).tolist()]
     assert got1 == match_oracle(pats, data1, cfg)
     assert got2 == match_oracle(pats, data2, cfg)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_plan_segment_truncation_fuzz(seed):
+    from phfpfac_tpu.parallel.matcher import Matcher
+
+    """Segment-truncation mode ON the plan kernel (the parity-CLI
+    default now rides it): small segments + halos force real cuts;
+    results must equal the oracle's truncated-walk semantics."""
+    rng = np.random.default_rng(100 + seed)
+    alpha = np.frombuffer(b"abcdef .", dtype=np.uint8)
+    words = list(dict.fromkeys(
+        bytes(alpha[rng.integers(0, len(alpha), int(rng.integers(1, 14)))])
+        for _ in range(150)
+    ))
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    cfg = PfacConfig(
+        width=256, num_shards=1 + seed % 2, truncation="segment",
+        segment_bytes=512, halo_bytes=int(rng.choice([0, 8, 64])),
+        interpret=True,
+    )
+    compiled = compile_patterns(pats, cfg)
+    data = bytes(alpha[rng.integers(0, len(alpha), 4000)])
+    m = Matcher(compiled, cfg, engine="pallas")
+    got = [tuple(x) for x in m.match(data).tolist()]
+    # the segment config must actually ride the plan kernel
+    kind, per_shard = m._get_pallas_scanner()
+    from phfpfac_tpu.ops.pallas_plan import PlanShardScanner
+
+    assert kind == "depth" and all(
+        isinstance(e, PlanShardScanner) for e in per_shard
+    )
+    assert got == match_oracle(pats, data, cfg)
