@@ -43,6 +43,8 @@ def main() -> None:
     ap.add_argument("--mib", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--engine", default="plan", choices=["plan", "depth"])
+    ap.add_argument("--tpc", type=int, default=32)
+    ap.add_argument("--cond-from", type=int, default=4)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -76,7 +78,10 @@ def main() -> None:
     if args.engine == "plan":
         from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
 
-        scan = plan_count_scanner(shard, max_steps, train=data[: 1 << 20])
+        scan = plan_count_scanner(
+            shard, max_steps, train=data[: 1 << 20], tpc=args.tpc,
+            cond_from=args.cond_from,
+        )
     else:
         from phfpfac_tpu.ops.pallas_depth import depth_count_scanner
 
@@ -106,6 +111,7 @@ def main() -> None:
         "detail": {
             "signatures": len(sigs), "states": shard.state_num,
             "engine": args.engine, "input_bytes": n,
+            "tpc": args.tpc, "cond_from": args.cond_from,
             "matches": total, "planted": planted,
             "median_scan_ms": round(dt * 1e3, 3),
             "build_s": round(t_build, 1),

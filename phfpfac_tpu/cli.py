@@ -167,7 +167,14 @@ def main(argv: list[str] | None = None) -> int:
             data = f.read()
         matcher = Matcher(compiled, cfg, engine=args.engine, timer=timer)
         with prof:
-            text = matcher.match_to_text(data, input_size=input_size)
+            # big inputs scan in pipelined chunks: chunk i+1's
+            # upload+scan overlaps chunk i's result download/decode
+            # (match_chunked falls through to one-shot when small)
+            from phfpfac_tpu.parallel.merge import render_result_file
+
+            text = render_result_file(
+                matcher.match_chunked(data, input_size=input_size)
+            )
         write_out = True
 
     if write_out:

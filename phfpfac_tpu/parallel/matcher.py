@@ -313,16 +313,19 @@ class Matcher:
                 self._pallas_scanner = ("depth", per_shard)
         return self._pallas_scanner
 
-    def _match_flat_pallas(self, data: bytes, input_size: int) -> list:
-        """Per-shard flat matches via the pallas kernels.
+    def _dispatch_flat_pallas(self, data: bytes, input_size: int):
+        """Start every shard's device scan WITHOUT blocking; return a
+        list of per-shard resolvers (each ``resolver()`` -> flat
+        matches), or None when no pallas path applies.
 
-        Emits per-position match bitmaps on device; shard-local states
-        are recovered from the matched substrings (ops.bitmap)."""
-        from phfpfac_tpu.ops.bitmap import (
-            decode_bitmap,
-            decode_hits,
-            fetch_hit_bits,
-        )
+        The split lets callers pipeline: dispatch chunk i+1's scans
+        (whose host->device staging rides the async queue) while chunk
+        i's bitmaps download and decode — the TPU analog of the
+        reference's per-thread default streams (Makefile:1,
+        main.cc:225-241).
+        """
+        from phfpfac_tpu.ops.bitmap import decode_bitmap, decode_hits, \
+            fetch_hit_bits
 
         max_steps = padded_steps(self.compiled.max_pat_len)
         padded = pad_input(data, _POS_PAD, max_steps)
@@ -336,47 +339,53 @@ class Matcher:
         try:
             kind, scanner = self._get_pallas_scanner()
         except Exception:  # noqa: BLE001 — no pallas path applies
-            return self._match_flat_turbo(data, input_size)
-        flats = []
+            return None
+        resolvers = []
         try:
-            with self.timer.phase("match"):
-                if kind == "depth":
-                    def bitmap_flat(ds, st):
-                        _cnt, b = ds.scan(
-                            padded, input_size, self.config, max_steps
-                        )
+            if kind == "depth":
+                def bitmap_dispatch(ds, st):
+                    _cnt, b = ds.scan(
+                        padded, input_size, self.config, max_steps
+                    )
+
+                    def resolve(b=b, st=st):
                         pos, hb = fetch_hit_bits(b, input_size)
                         return decode_hits(
                             hb, pos, data, input_size, st, max_steps
                         )
 
-                    for si, (shard, entry) in enumerate(
-                        zip(self.compiled.shards, scanner)
-                    ):
-                        if entry is None:
-                            # no bitmap kernel for THIS shard: exact
-                            # XLA engine for it, fast kernels for the
-                            # rest.  Tables built for THIS shard only
-                            # (a full _get_turbo_tables would force
-                            # the lazy PHF on every shard)
-                            if si not in self._solo_turbo:
-                                from phfpfac_tpu.ops.turbo_jnp import (
-                                    build_turbo_tables,
-                                )
+                    return resolve
 
-                                self._solo_turbo[si] = build_turbo_tables(
-                                    shard
-                                )
-                            flats.append(
-                                self._flat_turbo_one(
-                                    shard, self._solo_turbo[si], padded,
-                                    input_size,
-                                )
+                for si, (shard, entry) in enumerate(
+                    zip(self.compiled.shards, scanner)
+                ):
+                    if entry is None:
+                        # no bitmap kernel for THIS shard: exact XLA
+                        # engine for it, fast kernels for the rest.
+                        # Tables built for THIS shard only (a full
+                        # _get_turbo_tables would force the lazy PHF
+                        # on every shard)
+                        if si not in self._solo_turbo:
+                            from phfpfac_tpu.ops.turbo_jnp import (
+                                build_turbo_tables,
                             )
-                        elif isinstance(entry, tuple) and entry[0] == "split":
-                            (short_st, ds, short_map, long_st, long_tt,
-                             long_map) = entry[1]
-                            ms = bitmap_flat(ds, short_st)
+
+                            self._solo_turbo[si] = build_turbo_tables(shard)
+                        resolvers.append(
+                            lambda shard=shard, si=si: self._flat_turbo_one(
+                                shard, self._solo_turbo[si], padded,
+                                input_size,
+                            )
+                        )
+                    elif isinstance(entry, tuple) and entry[0] == "split":
+                        (short_st, ds, short_map, long_st, long_tt,
+                         long_map) = entry[1]
+                        short_resolve = bitmap_dispatch(ds, short_st)
+
+                        def resolve(short_resolve=short_resolve,
+                                    long_st=long_st, long_tt=long_tt,
+                                    short_map=short_map, long_map=long_map):
+                            ms = short_resolve()
                             ml = self._flat_turbo_one(
                                 long_st, long_tt, padded, input_size
                             )
@@ -385,25 +394,120 @@ class Matcher:
                                 ms[:, 2] = short_map[ms[:, 2]]
                             if ml.size:
                                 ml[:, 2] = long_map[ml[:, 2]]
-                            flats.append(np.concatenate([ms, ml]))
-                        else:
-                            flats.append(bitmap_flat(entry, shard))
-                else:
-                    _cnt, bits = scanner.scan(
-                        padded, input_size, self.config, max_steps
-                    )
-                    bits = np.asarray(bits)
-                    for s, shard in enumerate(self.compiled.shards):
-                        flats.append(
-                            decode_bitmap(
-                                bits[s], data, input_size, shard, max_steps
-                            )
+                            return np.concatenate([ms, ml])
+
+                        resolvers.append(resolve)
+                    else:
+                        resolvers.append(bitmap_dispatch(entry, shard))
+            else:
+                _cnt, bits_dev = scanner.scan(
+                    padded, input_size, self.config, max_steps
+                )
+
+                def make_resolve(s, shard):
+                    def resolve():
+                        bits = np.asarray(bits_dev)
+                        return decode_bitmap(
+                            bits[s], data, input_size, shard, max_steps
                         )
+
+                    return resolve
+
+                for s, shard in enumerate(self.compiled.shards):
+                    resolvers.append(make_resolve(s, shard))
         except ValueError:
             # e.g. max_pat_len beyond the 32-step bitmap: exact results
             # via the portable engine instead of failing the request
-            return self._match_flat_turbo(data, input_size)
-        return flats
+            return None
+        return resolvers
+
+    def _match_flat_pallas(self, data: bytes, input_size: int) -> list:
+        """Per-shard flat matches via the pallas kernels.
+
+        Emits per-position match bitmaps on device; shard-local states
+        are recovered from the matched substrings (ops.bitmap)."""
+        fallback = False
+        with self.timer.phase("match"):
+            resolvers = self._dispatch_flat_pallas(data, input_size)
+            if resolvers is None:
+                fallback = True
+            else:
+                try:
+                    return [r() for r in resolvers]
+                except ValueError:
+                    fallback = True
+        assert fallback
+        return self._match_flat_turbo(data, input_size)
+
+    def match_chunked(
+        self, data: bytes, *, input_size: int | None = None,
+        chunk_bytes: int = 16 << 20, max_outstanding: int = 3,
+    ) -> np.ndarray:
+        """Pipelined chunked scan: upload+scan of chunk i+1 overlaps
+        the bitmap download + decode of chunk i (the reference overlaps
+        shard scans via per-thread default streams, main.cc:225-241;
+        here the async dispatch queue provides the streams and chunking
+        provides the overlap).  Exactly-once across chunks via a
+        max_pat_len-1 (or halo) read-overlap; byte-identical output to
+        ``match`` (chunk bases stay segment-aligned, so truncation
+        semantics are position-local in both).
+        """
+        if input_size is None:
+            input_size = len(data)
+        overlap = max(self.compiled.max_pat_len - 1, 0)
+        if self.config.truncation == "segment":
+            # chunks must start on segment boundaries, and segment
+            # walks may read up to halo past the last boundary
+            chunk_bytes = max(
+                (chunk_bytes // self.config.segment_bytes) *
+                self.config.segment_bytes,
+                self.config.segment_bytes,
+            )
+            overlap = max(overlap, self.config.halo_bytes)
+        if (
+            self.engine != "pallas"
+            or input_size <= chunk_bytes + overlap
+        ):
+            return self.match(data, input_size=input_size)
+
+        n_shards = len(self.compiled.shards)
+        per_shard: list[list] = [[] for _ in range(n_shards)]
+        pending: list[tuple[int, int, list]] = []
+
+        def resolve_one():
+            base, body, resolvers = pending.pop(0)
+            for s, r in enumerate(resolvers):
+                m = r()
+                if m.size:
+                    m = m[m[:, 0] < body]
+                    m[:, 0] += base
+                per_shard[s].append(m.reshape(-1, 3))
+
+        with self.timer.phase("match"):
+            base = 0
+            while base < input_size:
+                body = min(chunk_bytes, input_size - base)
+                wend = min(base + body + overlap, input_size)
+                window = bytes(data[base:wend])
+                resolvers = self._dispatch_flat_pallas(
+                    window, wend - base
+                )
+                if resolvers is None:
+                    break  # no pallas path: unchunked fallback below
+                pending.append((base, body, resolvers))
+                if len(pending) > max_outstanding:
+                    resolve_one()
+                base += body
+            else:
+                while pending:
+                    resolve_one()
+                flats = [
+                    np.concatenate(parts) if parts else
+                    np.empty((0, 3), np.int64)
+                    for parts in per_shard
+                ]
+                return merge_flat_matches(self.compiled, flats, input_size)
+        return self.match(data, input_size=input_size)
 
     def match(
         self, data: bytes, *, input_size: int | None = None

@@ -50,25 +50,58 @@ class StreamMatcher:
         """Scan ``chunk``; return the NEW matches as int64 [(global
         position, pattern id)] — exactly those whose last byte arrived
         with this chunk."""
+        return self.feed_async(chunk)()
+
+    def feed_async(self, chunk: bytes):
+        """Dispatch ``chunk``'s scan and return a resolver.
+
+        The device scans launch immediately (async through jax's
+        dispatch queue); calling the resolver downloads + decodes.
+        Feeding the next chunk before resolving the previous one
+        overlaps its host->device staging and scan with the previous
+        chunk's result download — ~1 dispatch of marginal latency per
+        feed instead of a full round trip (the serving analog of the
+        reference's stream pipelining, Makefile:1).
+        Resolvers may be called in any order; matches are assigned to
+        feeds by dispatch order.
+        """
         if not chunk:
-            return np.empty((0, 2), dtype=np.int64)
+            return lambda: np.empty((0, 2), dtype=np.int64)
         window = self._tail + chunk
         base = self._total - len(self._tail)
-        matches = np.asarray(
-            self.matcher.match(window, input_size=len(window))
-        )
         prev_end = self._total
         self._total += len(chunk)
         self._tail = window[-self.overlap :] if self.overlap else b""
-        if matches.size == 0:
-            return matches.reshape(0, 2)
-        gpos = matches[:, 0] + base
-        # end = pos + len(pattern); recover length from the id
-        lengths = self._pattern_lengths()[matches[:, 1]]
-        end = gpos + lengths
-        keep = end > prev_end
-        out = np.stack([gpos[keep], matches[keep][:, 1]], axis=1)
-        return out
+
+        if self.matcher.engine == "pallas":
+            resolvers = self.matcher._dispatch_flat_pallas(
+                window, len(window)
+            )
+        else:
+            resolvers = None
+
+        def resolve():
+            if resolvers is not None:
+                from phfpfac_tpu.parallel.merge import merge_flat_matches
+
+                flats = [r() for r in resolvers]
+                matches = np.asarray(merge_flat_matches(
+                    self.matcher.compiled, flats, len(window)
+                ))
+            else:
+                matches = np.asarray(
+                    self.matcher.match(window, input_size=len(window))
+                )
+            if matches.size == 0:
+                return matches.reshape(0, 2)
+            gpos = matches[:, 0] + base
+            # end = pos + len(pattern); recover length from the id
+            lengths = self._pattern_lengths()[matches[:, 1]]
+            end = gpos + lengths
+            keep = end > prev_end
+            return np.stack([gpos[keep], matches[keep][:, 1]], axis=1)
+
+        return resolve
 
     def _pattern_lengths(self) -> np.ndarray:
         if not hasattr(self, "_plen"):

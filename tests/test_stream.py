@@ -76,3 +76,49 @@ def test_stream_rejects_segment_truncation():
     compiled = compile_patterns(pats, cfg)
     with pytest.raises(ValueError, match="segment"):
         StreamMatcher(compiled, cfg)
+
+
+def test_feed_async_pipelines(reference_dir):
+    """Dispatch several feeds before resolving any: results must equal
+    the synchronous feed sequence (exactly-once, same order)."""
+    words = (reference_dir / "experimentpattern").read_bytes().split() + [
+        b"the", b"cat", b"dog"
+    ]
+    data = b"the cat dog aaaa " * 300
+    pats, cfg, compiled = _mk(words)
+    cfg2 = PfacConfig(width=256, num_shards=2, truncation="none",
+                      interpret=True)
+    compiled2 = compile_patterns(pats, cfg2)
+    sm_sync = StreamMatcher(compiled2, cfg2, engine="pallas")
+    sm_async = StreamMatcher(compiled2, cfg2, engine="pallas")
+    chunks = [data[i:i + 997] for i in range(0, len(data), 997)]
+    want = []
+    for c in chunks:
+        want += [tuple(x) for x in sm_sync.feed(c).tolist()]
+    resolvers = [sm_async.feed_async(c) for c in chunks]  # all dispatched
+    got = []
+    for r in resolvers:
+        got += [tuple(x) for x in r().tolist()]
+    assert got == want
+    assert sorted(got) == sorted(match_oracle(pats, data, cfg2))
+
+
+@pytest.mark.parametrize("trunc", ["none", "segment"])
+def test_match_chunked_parity(reference_dir, trunc):
+    """Pipelined chunked scan == one-shot scan, exact AND segment
+    truncation semantics (chunk bases stay segment-aligned)."""
+    words = (reference_dir / "xaa").read_bytes().split()[:400]
+    data = (reference_dir / "1M").read_bytes()[:200000]
+    pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
+    cfg = PfacConfig(width=1024, num_shards=2, truncation=trunc,
+                     interpret=True)
+    compiled = compile_patterns(pats, cfg)
+    m = Matcher(compiled, cfg, engine="pallas")
+    want = [tuple(x) for x in m.match(data).tolist()]
+    m2 = Matcher(compiled, cfg, engine="pallas")
+    got = [
+        tuple(x) for x in m2.match_chunked(
+            data, chunk_bytes=1 << 16, max_outstanding=2
+        ).tolist()
+    ]
+    assert got == want
