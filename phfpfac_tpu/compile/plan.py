@@ -95,6 +95,12 @@ class StepSpec:
     s_k0: int
     s_nibble: bool  # side entries 4-bit (code&7)+1 8/word, else bytes
     miss: int  # dead sentinel VALUE stored by this step's entries
+    # trained-profile hot-bank spans (0 = untrained): the kernel sizes
+    # its FIRST bank group to cover the hot working set, so the common
+    # case probes one group + one pred instead of walking geometric
+    # boundaries up from 4 banks
+    hot_nb: int = 0
+    s_hot_nb: int = 0
 
 
 @dataclass
@@ -199,12 +205,13 @@ def build_plan_tables(
             )
             banks = _layout_banks(offsets, lv.tr_offs[li], cols)
             cost_b = banks
+            hot_m = 0
             if w is not None:
-                cost_b = _grouped_cost(
-                    banks, _hot_banks(offsets, lv.tr_offs[li], cols, w)
-                )
+                hot = _hot_banks(offsets, lv.tr_offs[li], cols, w)
+                cost_b = _grouped_cost(banks, hot)
+                hot_m = int(np.ceil(hot))
             mono_cand[d].update(
-                offsets=offsets, ht_len=ht_len, banks=cost_b,
+                offsets=offsets, ht_len=ht_len, banks=cost_b, hot=hot_m,
             )
         else:
             est_len = int(len(cols) / 0.8) + 1
@@ -219,17 +226,18 @@ def build_plan_tables(
                     p_offs, pair, s_offs, side, pair_span, mono_span,
                     priority=w,
                 )
+                hot_m = hot_s = 0
                 if w is not None:
                     per = 8 if nib else 4
-                    cost_b = _grouped_cost(
-                        mb, _hot_banks(offsets, p_offs, pair, w)
-                    ) + _grouped_cost(
-                        sb, _hot_banks(offsets, s_offs, side, w, div=per)
-                    )
+                    hm = _hot_banks(offsets, p_offs, pair, w)
+                    hs = _hot_banks(offsets, s_offs, side, w, div=per)
+                    cost_b = _grouped_cost(mb, hm) + _grouped_cost(sb, hs)
+                    hot_m, hot_s = int(np.ceil(hm)), int(np.ceil(hs))
                 else:
                     cost_b = mb + sb
                 pair_cand[d].update(
                     offsets=offsets, ht_len=ht_len, nib=nib, banks=cost_b,
+                    hot=hot_m, hot_s=hot_s,
                 )
             else:
                 est_len = int(len(pair) / 0.5) + 1
@@ -337,6 +345,7 @@ def build_plan_tables(
             built[i] = dict(
                 kind=kind, d=d, vshift=cb + 1, offsets=c["offsets"],
                 ht_len=c["ht_len"], cols=c["cols"],
+                hot=c.get("hot", 0),
             )
         else:
             c = pair_cand[d]
@@ -344,6 +353,7 @@ def build_plan_tables(
             built[i] = dict(
                 kind=kind, d=d, vshift=2 * cb + 1, offsets=c["offsets"],
                 ht_len=c["ht_len"], join=c["join"], nib=c["nib"],
+                hot=c.get("hot", 0), hot_s=c.get("hot_s", 0),
             )
 
     # ---- fill -------------------------------------------------------------
@@ -428,6 +438,8 @@ def build_plan_tables(
                 off=m_acc, nb=mb.shape[0], k0=mk0,
                 s_off=s_acc, s_nb=sb.shape[0], s_k0=sk0,
                 s_nibble=bool(b.get("nib", False)), miss=miss,
+                hot_nb=int(b.get("hot", 0)),
+                s_hot_nb=int(b.get("hot_s", 0)),
             )
         )
         m_acc += mb.shape[0]

@@ -38,21 +38,24 @@ def _lut_range(banks_ref, idx, acc, lo: int, hi: int, off: int = 0,
     return acc
 
 
-def _group_ends(nb: int, first: int = 4) -> list:
-    """Geometric bank-group boundaries: [4, 12, 28, 60, ..., nb].
+def _group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
+    """Geometric bank-group boundaries: [first, ..., nb].
 
     The grouped scan probes group 0 unconditionally and each further
     group only while some live walker's probe bank lies beyond the
     boundary — with a profile-guided layout the hot classes sit in the
     first group(s), so the expected probed-bank count collapses to the
     HOT working set instead of the table size, at a cost of
-    O(log(nb)) group checks worst-case.
+    O(log(nb)) group checks worst-case.  ``first`` is sized from the
+    trained hot span when known (StepSpec.hot_nb) so the common case
+    is ONE group + one pred; ``growth`` trades mispredict cost against
+    group-check/compile cost (big tables unroll every group's probes).
     """
-    ends, e, size = [], 0, first
+    ends, e, size = [], 0, max(first, 2)
     while e < nb:
         e = min(e + size, nb)
         ends.append(e)
-        size *= 2
+        size *= growth
     return ends
 
 
@@ -172,7 +175,8 @@ def _make_plan_kernel(
                 t = jnp.minimum(t, d)
             return jnp.min(t) != p0_miss
 
-        def probe_bounded(ref, idxs, live, off: int, nb: int, k0: int):
+        def probe_bounded(ref, idxs, live, off: int, nb: int, k0: int,
+                          hot: int = 0):
             """Banked LUT over ONLY banks [k0, max-live-bank]: with the
             profile-guided layout hot classes sit at low displacements,
             so the dynamic bound collapses the scan to the live working
@@ -209,8 +213,9 @@ def _make_plan_kernel(
                     for _ in range(tpc)
                 )
                 return list(jax.lax.fori_loop(0, n, body, init))
-            # "geo": unrolled geometric groups behind scalar preds
-            ends = _group_ends(nb)
+            # "geo": unrolled geometric groups behind scalar preds;
+            # first group covers the trained hot span, then x3
+            ends = _group_ends(nb, first=max(4, hot + 1), growth=3)
             accs = tuple(
                 _lut_range(
                     ref, idxs[i],
@@ -317,7 +322,8 @@ def _make_plan_kernel(
                     live = [disps[i] != sp.miss for i in range(tpc)]
                 if bound_main:
                     gs = probe_bounded(
-                        m_ref, idxs, live, sp.off, sp.nb, sp.k0
+                        m_ref, idxs, live, sp.off, sp.nb, sp.k0,
+                        hot=sp.hot_nb,
                     )
                 else:
                     gs = [
@@ -334,7 +340,8 @@ def _make_plan_kernel(
                     ]
                     if bound_side:
                         ws = probe_bounded(
-                            s_ref, widxs, live, sp.s_off, sp.s_nb, sp.s_k0
+                            s_ref, widxs, live, sp.s_off, sp.s_nb,
+                            sp.s_k0, hot=sp.s_hot_nb,
                         )
                     else:
                         ws = [
