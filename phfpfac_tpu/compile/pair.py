@@ -209,7 +209,7 @@ def _pair_join(lv: Levels, li: int, code_of: np.ndarray, cb: int):
 
 
 def _layout_pair_step(p_offs, pair, s_offs, side, pair_span, mono_span,
-                      priority=None):
+                      priority=None, force_nibble=None):
     """Lay out one pair step, choosing the side-table packing.
 
     Tries the byte layout (full-code verify) and, when the native
@@ -230,6 +230,10 @@ def _layout_pair_step(p_offs, pair, s_offs, side, pair_span, mono_span,
     modes = [(False, 0, 4)]
     if native.available():
         modes.append((True, 7, 8))
+    if force_nibble is not None:
+        # stacked multi-shard plans need ONE packing per step across
+        # shards (it is a kernel static); the lead shard's choice wins
+        modes = [m for m in modes if m[0] == force_nibble] or modes[:1]
     best = best_score = None
     for nib, mask, per in modes:
         offsets, ht_len = _layout_csr(

@@ -117,11 +117,15 @@ class PlanTables:
     p0_miss: int  # dead sentinel (plan-wide)
     max_pat_len: int
     trained: bool = False  # profile-guided layout (grouped-scan ready)
+    kinds: tuple = ()  # the chosen (kind, depth) list (stacking reuses it)
 
 
 def build_plan_tables(
     shard: ShardTables, *, minimize: bool = True,
     train: bytes | np.ndarray | None = None,
+    code: tuple | None = None,
+    forced_kinds: tuple | None = None,
+    trim: bool = True,
 ) -> PlanTables:
     """Build the hybrid-stride plan tables.
 
@@ -133,6 +137,13 @@ def build_plan_tables(
     covered.  Exact for ANY scanned input — the profile only shapes
     speed (a mismatched profile degrades toward the untrained cost
     plus a few group checks).
+
+    ``code``/``forced_kinds``/``trim`` serve the STACKED multi-shard
+    build (build_stacked_plan_tables): a shared (code_of, sigma, cb)
+    coding, an imposed (kind, depth) step list (depths past this
+    shard's automaton produce all-miss EMPTY steps so every shard gets
+    the same static program), and k0-trim disabled so bank offsets
+    stay uniform across shards.
     """
     if shard.max_pat_len > MAX_DEPTH_STEPS:
         raise PairUnsupported("max pattern length exceeds bitmap width")
@@ -169,7 +180,10 @@ def build_plan_tables(
     # supported with MONO-ONLY steps: pair fusion needs
     # ht_len + 2^2cb below the pair-width sentinel, impossible past
     # cb=7, so those candidates are not even laid out.
-    code_of, _sigma, cb = collect_alphabet(shard, lv, max_sigma=256)
+    if code is None:
+        code_of, _sigma, cb = collect_alphabet(shard, lv, max_sigma=256)
+    else:
+        code_of, _sigma, cb = code
     pair_span = 1 << (2 * cb)
     mono_span = 1 << cb
     p0_mode = "dense" if pair_span <= 4096 else "s0"
@@ -194,12 +208,28 @@ def build_plan_tables(
     mono_cand: dict = {}  # d -> dict(offsets, ht_len, cols, banks)
     pair_cand: dict = {}  # d -> dict(offsets, ht_len, join, nib, banks)
     d_lo = 2 if p0_mode == "dense" else 1
+    need_mono = need_pair = None
+    forced_nib = {}
+    if forced_kinds is not None:
+        fk = [(e[0], e[1]) for e in forced_kinds]
+        forced_nib = {
+            e[1]: e[2] for e in forced_kinds
+            if len(e) > 2 and e[0] == "pair"
+        }
+        forced_kinds = fk
+        need_mono = {d for k, d in forced_kinds if k == "mono"}
+        need_pair = {d for k, d in forced_kinds if k == "pair"}
     for d in range(d_lo, D):
+        if need_mono is not None and d not in need_mono \
+                and d not in need_pair:
+            continue
         li = d - 1
         w = weights[li] if weights is not None else None
         cols = code_of[lv.tr_cols[li]].astype(np.int64)
-        mono_cand[d] = dict(cols=cols, w=w)
-        if exact:
+        want_mono = need_mono is None or d in need_mono
+        if want_mono:
+            mono_cand[d] = dict(cols=cols, w=w)
+        if want_mono and exact:
             offsets, ht_len = _layout_csr(
                 lv.tr_offs[li], cols, colspan=mono_span, priority=w
             )
@@ -213,10 +243,12 @@ def build_plan_tables(
             mono_cand[d].update(
                 offsets=offsets, ht_len=ht_len, banks=cost_b, hot=hot_m,
             )
-        else:
+        elif want_mono:
             est_len = int(len(cols) / 0.8) + 1
             mono_cand[d].update(ht_len=est_len, banks=est_len / 128.0)
-        if pair_feasible and li + 1 <= D - 1:
+        if pair_feasible and li + 1 <= D - 1 and (
+            need_pair is None or d in need_pair
+        ):
             # a pair step needs an odd level to fuse
             join = _pair_join(lv, li, code_of, cb)
             p_offs, pair, _end, s_offs, side = join
@@ -224,7 +256,7 @@ def build_plan_tables(
             if exact:
                 offsets, ht_len, nib, mb, sb = _layout_pair_step(
                     p_offs, pair, s_offs, side, pair_span, mono_span,
-                    priority=w,
+                    priority=w, force_nibble=forced_nib.get(d),
                 )
                 hot_m = hot_s = 0
                 if w is not None:
@@ -261,7 +293,7 @@ def build_plan_tables(
             p_offs, pair, _end, s_offs, side = c["join"]
             offsets, ht_len, nib, _mb, _sb = _layout_pair_step(
                 p_offs, pair, s_offs, side, pair_span, mono_span,
-                priority=c["w"],
+                priority=c["w"], force_nibble=forced_nib.get(d),
             )
             c.update(offsets=offsets, ht_len=ht_len, nib=nib)
 
@@ -303,14 +335,17 @@ def build_plan_tables(
             d += 2 if k == "pair" else 1
         return cost[d_lo], kinds
 
-    best = None
-    for use_pair in (True, False):
-        res = run_dp(use_pair)
-        if res and (best is None or res[0] < best[0]):
-            best = res
-    if best is None:
-        raise PairUnsupported("tables too large for the miss sentinel")
-    plan_kinds = best[1]
+    if forced_kinds is not None:
+        plan_kinds = list(forced_kinds)
+    else:
+        best = None
+        for use_pair in (True, False):
+            res = run_dp(use_pair)
+            if res and (best is None or res[0] < best[0]):
+                best = res
+        if best is None:
+            raise PairUnsupported("tables too large for the miss sentinel")
+        plan_kinds = best[1]
 
     # ONE dead sentinel for the whole plan: all-ones in the narrowest
     # value field among the kinds actually chosen.  Every table must
@@ -330,14 +365,26 @@ def build_plan_tables(
     def landing_arr(i: int, cls: np.ndarray) -> np.ndarray:
         """Value-field (disp) stored for walkers landing on classes at
         step i's start depth; the global miss sentinel for dead
-        landings (past the last step / no onward row)."""
-        if i >= len(plan_kinds):
+        landings (past the last step / no onward row / an EMPTY
+        forced step this shard's automaton never reaches)."""
+        if i >= len(plan_kinds) or disp_of[i] is None:
             return np.full(len(cls), miss, dtype=np.int64)
         off = disp_of[i][cls]
         return np.where(off != _EMPTY, off, miss)
 
     for i in range(len(plan_kinds) - 1, -1, -1):
         kind, d = plan_kinds[i]
+        in_range = (kind == "mono" and d in mono_cand) or (
+            kind == "pair" and d in pair_cand
+        )
+        if not in_range:
+            # forced step past this shard's depth: all-miss table
+            built[i] = dict(
+                kind=kind, d=d,
+                vshift=(cb + 1) if kind == "mono" else (2 * cb + 1),
+                empty=True,
+            )
+            continue
         _materialize(kind, d)
         if kind == "mono":
             c = mono_cand[d]
@@ -361,6 +408,8 @@ def build_plan_tables(
     # it must fall past all banks, and no live displacement may alias it
     span_of = {"mono": mono_span, "pair": pair_span}
     for b in built:
+        if b.get("empty"):
+            continue
         if np.max(b["offsets"], initial=0) >= miss:
             raise PairUnsupported("displacement reaches the miss sentinel")
         if b["ht_len"] + span_of[b["kind"]] > miss:
@@ -371,7 +420,10 @@ def build_plan_tables(
         kind, d, vshift = b["kind"], b["d"], b["vshift"]
         li = d - 1
         nxt = i + 1
-        if kind == "mono":
+        if b.get("empty"):
+            main_tables.append(np.full(1, -1, dtype=np.int32))
+            side_tables.append(np.zeros(1, dtype=np.int32))
+        elif kind == "mono":
             tbl = np.full(b["ht_len"], -1, dtype=np.int32)
             offs = lv.tr_offs[li]
             cols = b["cols"]
@@ -426,8 +478,12 @@ def build_plan_tables(
             ) | fin1
 
     # ---- bank + spec assembly ----------------------------------------------
-    tm = [_to_banks_trimmed(t) for t in main_tables]
-    ts = [_to_banks_trimmed(t, fill=0) for t in side_tables]
+    if trim:
+        tm = [_to_banks_trimmed(t) for t in main_tables]
+        ts = [_to_banks_trimmed(t, fill=0) for t in side_tables]
+    else:
+        tm = [(_to_banks(t), 0) for t in main_tables]
+        ts = [(_to_banks(t, fill=0), 0) for t in side_tables]
     specs, m_acc, s_acc = [], 0, 0
     for i, b in enumerate(built):
         mb, mk0 = tm[i]
@@ -461,4 +517,128 @@ def build_plan_tables(
         p0_miss=p0_miss,
         max_pat_len=shard.max_pat_len,
         trained=weights is not None,
+        kinds=tuple(
+            (k, d) if k == "mono" else (k, d, specs[i].s_nibble)
+            for i, (k, d) in enumerate(plan_kinds)
+        ),
+    )
+
+
+@dataclass
+class StackedPlanTables:
+    """All shards' plan tables under ONE uniform static program.
+
+    SPMD over a ``patterns`` mesh axis needs identical kernel statics
+    on every device, so: one shared alphabet coding (union of the
+    shards' bytes), one step-kind list (chosen by shard 0's DP and
+    imposed on the rest; depths a shard lacks become all-miss steps),
+    k0-trimming off, and per-step bank counts padded to the max across
+    shards.  Probes into the -1 padding miss — correctness never
+    depends on the padding, only throughput does.
+    """
+
+    code_of: np.ndarray
+    code_bits: int
+    p0_mode: str
+    p0_banks: np.ndarray  # int32 [S, NBP0, 128]
+    packed_banks: np.ndarray  # int32 [S, NB, 128]
+    side_banks: np.ndarray  # int32 [S, NS, 128]
+    steps: tuple  # uniform StepSpec (k0 = 0 everywhere)
+    p0_miss: int
+    max_pat_len: int
+    trained: bool
+
+    @property
+    def num_shards(self) -> int:
+        return self.p0_banks.shape[0]
+
+
+def union_alphabet(shards) -> tuple:
+    """Shared (code_of, sigma, cb) over the union of shard bytes.
+
+    Same contract as collect_alphabet (miss code = sigma, strictly
+    below the code-field mask)."""
+    used = np.zeros(256, dtype=bool)
+    for sh in shards:
+        if sh.patterns is None:
+            raise PairUnsupported("stacking needs shards with patterns")
+        for p in sh.patterns:
+            used[np.frombuffer(p, dtype=np.uint8)] = True
+    sigma = int(used.sum())
+    cb = max(sigma.bit_length(), 1)
+    if sigma == (1 << cb) - 1:
+        cb += 1
+    code_of = np.full(256, sigma, dtype=np.int32)
+    code_of[np.flatnonzero(used)] = np.arange(sigma, dtype=np.int32)
+    return code_of, sigma, cb
+
+
+def build_stacked_plan_tables(
+    shards, *, train: bytes | np.ndarray | None = None,
+) -> StackedPlanTables:
+    """Stack every shard's plan tables into one SPMD-ready program.
+
+    Raises PairUnsupported when any shard cannot take the shared
+    coding/kinds (callers fall back to the host shard loop)."""
+    if not shards:
+        raise PairUnsupported("no shards")
+    code = union_alphabet(shards)
+    # the kind list must cover the DEEPEST automaton — shallower shards
+    # pad with all-miss steps, but steps can never be added per shard
+    lead_i = int(np.argmax([sh.max_pat_len for sh in shards]))
+    lead = build_plan_tables(shards[lead_i], train=train, code=code)
+    kinds = lead.kinds
+    pts = [
+        build_plan_tables(
+            sh, train=train, code=code, forced_kinds=kinds, trim=False
+        )
+        for sh in shards
+    ]
+    n_steps = len(kinds)
+    assert all(len(pt.steps) == n_steps for pt in pts)
+    assert all(pt.p0_miss == pts[0].p0_miss for pt in pts)
+
+    nb_p0 = max(pt.p0_banks.shape[0] for pt in pts)
+    nbs = [max(pt.steps[i].nb for pt in pts) for i in range(n_steps)]
+    snbs = [max(pt.steps[i].s_nb for pt in pts) for i in range(n_steps)]
+    m_offs = np.concatenate([[0], np.cumsum(nbs)])
+    s_offs = np.concatenate([[0], np.cumsum(snbs)])
+    S = len(pts)
+    p0 = np.full((S, nb_p0, _LANE), -1, np.int32)
+    packed = np.full((S, int(m_offs[-1]), _LANE), -1, np.int32)
+    side = np.zeros((S, int(s_offs[-1]), _LANE), np.int32)
+    for s, pt in enumerate(pts):
+        p0[s, : pt.p0_banks.shape[0]] = pt.p0_banks
+        for i, sp in enumerate(pt.steps):
+            packed[s, m_offs[i] : m_offs[i] + sp.nb] = (
+                pt.packed_banks[sp.off : sp.off + sp.nb]
+            )
+            side[s, s_offs[i] : s_offs[i] + sp.s_nb] = (
+                pt.side_banks[sp.s_off : sp.s_off + sp.s_nb]
+            )
+    specs = tuple(
+        StepSpec(
+            kind=kinds[i][0], depth0=kinds[i][1] + 1,
+            off=int(m_offs[i]), nb=int(nbs[i]), k0=0,
+            s_off=int(s_offs[i]), s_nb=int(snbs[i]), s_k0=0,
+            # the kinds tuple carries the lead shard's nibble choice,
+            # which the forced builds reproduced (it is a kernel
+            # static shared by every shard)
+            s_nibble=pts[0].steps[i].s_nibble, miss=pts[0].steps[i].miss,
+            hot_nb=max(pt.steps[i].hot_nb for pt in pts),
+            s_hot_nb=max(pt.steps[i].s_hot_nb for pt in pts),
+        )
+        for i in range(n_steps)
+    )
+    for pt in pts:
+        for i in range(n_steps):
+            assert pt.steps[i].s_nb <= 1 or (
+                pt.steps[i].s_nibble == specs[i].s_nibble
+            )
+    return StackedPlanTables(
+        code_of=code[0], code_bits=code[2], p0_mode=pts[0].p0_mode,
+        p0_banks=p0, packed_banks=packed, side_banks=side,
+        steps=specs, p0_miss=pts[0].p0_miss,
+        max_pat_len=max(sh.max_pat_len for sh in shards),
+        trained=all(pt.trained for pt in pts),
     )

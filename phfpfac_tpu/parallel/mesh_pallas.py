@@ -209,6 +209,52 @@ class PallasMeshMatcher:
 # ---------------------------------------------------------------------------
 
 
+def _mesh_plan_stacked_scan(
+    data2d,  # int32 [rows, 128] staged pair symbols (sharded over "data")
+    p0, packed, side,  # int32 [S, *, 128] (sharded over "patterns")
+    *,
+    mesh: Mesh,
+    statics: dict,
+    miss_sym: int,
+):
+    """One SPMD program: plan kernel over (data x patterns).
+
+    Tables come from compile.plan.build_stacked_plan_tables (uniform
+    static geometry), so every device runs the SAME program — the plan
+    engine's answer to the reference's per-shard stream dispatch
+    (main.cc:225-241) without a host loop."""
+    from phfpfac_tpu.ops.pallas_plan import _plan_scan_bitmap
+
+    n_data = mesh.shape["data"]
+
+    def cell(d2, p0_c, m_c, s_c):
+        halo = jax.lax.ppermute(
+            d2[:_SUB],
+            "data",
+            perm=[(i, (i - 1) % n_data) for i in range(n_data)],
+        )
+        is_last = jax.lax.axis_index("data") == n_data - 1
+        halo = jnp.where(is_last, jnp.int32(miss_sym), halo)
+        local = jnp.concatenate([d2, halo], axis=0)
+        _cnt, bits = _plan_scan_bitmap(
+            local, jnp.zeros(1, jnp.int32), p0_c[0], m_c[0], s_c[0],
+            **statics
+        )
+        return bits.reshape(1, -1)
+
+    f = jax.shard_map(
+        cell,
+        mesh=mesh,
+        in_specs=(
+            P("data", None), P("patterns", None, None),
+            P("patterns", None, None), P("patterns", None, None),
+        ),
+        out_specs=P("patterns", "data"),
+        check_vma=False,
+    )
+    return f(data2d, p0, packed, side)
+
+
 def _mesh_plan_bitmap_scan(
     data2d,  # int32 [rows, 128] staged pair symbols (sharded over "data")
     p0_banks, packed_banks, side_banks,  # replicated
@@ -267,7 +313,10 @@ class PlanMeshMatcher:
                  *, interpret: bool = False, tpc: int = 8,
                  train: bytes | None = None):
         from phfpfac_tpu.compile.pair import PairUnsupported
-        from phfpfac_tpu.compile.plan import build_plan_tables
+        from phfpfac_tpu.compile.plan import (
+            build_plan_tables,
+            build_stacked_plan_tables,
+        )
 
         if config.truncation == "segment":
             raise PairUnsupported("segment truncation needs stride-1")
@@ -278,9 +327,21 @@ class PlanMeshMatcher:
         self.mesh = mesh
         self.interpret = interpret
         self.tpc = tpc
-        self.pts = [
-            build_plan_tables(sh, train=train) for sh in compiled.shards
-        ]
+        self.stacked = None
+        n_pat = mesh.shape.get("patterns", 1)
+        if n_pat > 1 and n_pat == len(compiled.shards):
+            try:
+                self.stacked = build_stacked_plan_tables(
+                    compiled.shards, train=train
+                )
+            except PairUnsupported:
+                self.stacked = None  # host shard loop below
+        self.pts = None
+        if self.stacked is None:
+            self.pts = [
+                build_plan_tables(sh, train=train)
+                for sh in compiled.shards
+            ]
 
     def match(self, data: bytes, *, input_size: int | None = None):
         """Flat [(position, global pattern id)] in reference order."""
@@ -295,6 +356,37 @@ class PlanMeshMatcher:
         padded = pad_input(data, 1024 * n_data, max_steps)
         n_pos = len(padded) - max_steps
         rows = n_pos // 128  # per-cell halos come from ppermute
+
+        if self.stacked is not None:
+            st = self.stacked
+            data2d = stage_pairs(
+                jnp.asarray(padded[:n_pos]),
+                jnp.asarray(np.int32(input_size)),
+                jnp.asarray(st.code_of), n_rows=rows, cb=st.code_bits,
+            )
+            sigma = int(st.code_of.max())
+            statics = dict(
+                steps=st.steps, nb_p0=st.p0_banks.shape[1],
+                cb=st.code_bits, p0_miss=st.p0_miss, p0_mode=st.p0_mode,
+                interpret=self.interpret, tpc=self.tpc,
+                cond_from=3, grouped=st.trained,
+            )
+            bits = _mesh_plan_stacked_scan(
+                data2d,
+                jnp.asarray(st.p0_banks),
+                jnp.asarray(st.packed_banks),
+                jnp.asarray(st.side_banks),
+                mesh=self.mesh, statics=statics,
+                miss_sym=(sigma << st.code_bits) | sigma,
+            )
+            flats = []
+            for si, shard in enumerate(self.compiled.shards):
+                pos, hb = fetch_hit_bits(bits[si], input_size)
+                flats.append(
+                    decode_hits(hb, pos, data, input_size, shard,
+                                max_steps)
+                )
+            return merge_flat_matches(self.compiled, flats, input_size)
 
         flats = []
         for shard, pt in zip(self.compiled.shards, self.pts):

@@ -83,3 +83,37 @@ class TestPlanMesh:
         data = b"x" * (1024 - 8) + b"boundarycrossing" + b"y" * 3000
         got = [tuple(x) for x in pm.match(data).tolist()]
         assert got == match_oracle(pats, data, cfg)
+
+    def test_stacked_patterns_axis(self, reference_dir):
+        """FOUR pattern shards on the plan engine under ONE shard_map
+        (data x patterns) — the stacked uniform-geometry program
+        (compile.plan.build_stacked_plan_tables)."""
+        from phfpfac_tpu.parallel.mesh_pallas import PlanMeshMatcher
+
+        words = (reference_dir / "xaa").read_bytes().split()[:400]
+        data = (reference_dir / "1M").read_bytes()[:16384]
+        pats, cfg, compiled = _mk(words, 4)
+        pm = PlanMeshMatcher(compiled, cfg, make_mesh(2, 4),
+                             interpret=True, train=data)
+        assert pm.stacked is not None and pm.stacked.num_shards == 4
+        got = [tuple(x) for x in pm.match(data).tolist()]
+        assert got == match_oracle(pats, data, cfg)
+        single = Matcher(compiled, cfg, engine="pallas")
+        assert got == [tuple(x) for x in single.match(data).tolist()]
+
+    def test_stacked_uneven_depths(self):
+        """Shards with very different automaton depths still stack
+        (shallow shards get all-miss steps)."""
+        from phfpfac_tpu.parallel.mesh_pallas import PlanMeshMatcher
+
+        rng = np.random.default_rng(3)
+        alpha = np.frombuffer(b"abcdef ", dtype=np.uint8)
+        short = [bytes(alpha[rng.integers(0, 7, 2)]) for _ in range(40)]
+        long = [bytes(alpha[rng.integers(0, 7, 14)]) for _ in range(40)]
+        words = list(dict.fromkeys(short + long))
+        pats, cfg, compiled = _mk(words, 2)
+        data = bytes(alpha[rng.integers(0, 7, 8192)])
+        pm = PlanMeshMatcher(compiled, cfg, make_mesh(4, 2),
+                             interpret=True)
+        got = [tuple(x) for x in pm.match(data).tolist()]
+        assert got == match_oracle(pats, data, cfg)
