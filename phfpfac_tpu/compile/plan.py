@@ -118,6 +118,11 @@ class PlanTables:
     max_pat_len: int
     trained: bool = False  # profile-guided layout (grouped-scan ready)
     kinds: tuple = ()  # the chosen (kind, depth) list (stacking reuses it)
+    # per-step live-walker fraction on the profile corpus (empty when
+    # untrained): drives the auto cond_from choice — steps where
+    # essentially no walker survives should sit behind the early-exit
+    # cond (die-fast binary traffic wants cond_from=2, english text 4)
+    live_frac: tuple = ()
 
 
 def build_plan_tables(
@@ -162,9 +167,11 @@ def build_plan_tables(
     lv = _minimize_levels(dense, levels, nf)
 
     weights = None
+    train_len = 0
     if train is not None:
         from phfpfac_tpu.compile.depth import level_visit_counts
 
+        train_len = len(train)
         weights = level_visit_counts(dense, shard.s0, lv, train)
         if not any(int(w.sum()) for w in weights):
             # degenerate profile (empty / unrepresentative corpus):
@@ -517,6 +524,11 @@ def build_plan_tables(
         p0_miss=p0_miss,
         max_pat_len=shard.max_pat_len,
         trained=weights is not None,
+        live_frac=tuple(
+            float(weights[d - 1].sum()) / max(train_len, 1)
+            if weights is not None and d - 1 < len(weights) else 0.0
+            for _k, d in plan_kinds
+        ),
         kinds=tuple(
             (k, d) if k == "mono" else (k, d, specs[i].s_nibble)
             for i, (k, d) in enumerate(plan_kinds)

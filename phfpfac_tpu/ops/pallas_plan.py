@@ -398,6 +398,21 @@ _STATICS = (
 )
 
 
+def resolve_cond_from(pt: PlanTables, cond_from) -> int:
+    """"auto" -> the first step whose trained live-walker fraction
+    drops below ~3 walkers per 32k-position cell (1e-4): earlier conds
+    would never skip, later ones leave dead cells paying full steps.
+    Untrained tables keep the measured english default (4)."""
+    if cond_from != "auto":
+        return int(cond_from)
+    if not pt.live_frac:
+        return 4
+    for i, f in enumerate(pt.live_frac):
+        if f < 1e-4:
+            return max(i, 1)
+    return 4
+
+
 def _default_gmode() -> str:
     """Bounded-scan strategy for big tables: "geo" = unrolled geometric
     groups behind scalar preds from the max live probe index (default;
@@ -487,12 +502,12 @@ class PlanShardScanner:
     """Bitmap-mode hybrid-stride scanner for one shard (exact mode)."""
 
     def __init__(self, shard: ShardTables, *, interpret: bool = False,
-                 tpc: int = 32, cond_from: int = 4, train=None):
+                 tpc: int = 32, cond_from="auto", train=None):
         self.pt: PlanTables = build_plan_tables(shard, train=train)
         self.shard = shard
         self.interpret = interpret
         self.tpc = tpc
-        self.cond_from = cond_from
+        self.cond_from = resolve_cond_from(self.pt, cond_from)
         self._code = jnp.asarray(self.pt.code_of)
 
     def _statics(self):
@@ -532,13 +547,13 @@ class PlanCountScan:
     """Count-mode hybrid-stride scan (bench protocol: prepare + scan)."""
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
-                 interpret: bool = False, tpc: int = 32, cond_from: int = 4,
+                 interpret: bool = False, tpc: int = 32, cond_from="auto",
                  train=None):
         self.pt = build_plan_tables(shard, train=train)
         self.max_steps = max_steps
         self.interpret = interpret
         self.tpc = tpc
-        self.cond_from = cond_from
+        self.cond_from = resolve_cond_from(self.pt, cond_from)
         self._code = jnp.asarray(self.pt.code_of)
         self._p0 = jnp.asarray(self.pt.p0_banks)
         self._m = jnp.asarray(self.pt.packed_banks)
@@ -570,7 +585,7 @@ class PlanCountScan:
 
 def plan_count_scanner(shard: ShardTables, max_steps: int, *,
                        interpret: bool = False, tpc: int = 32,
-                       cond_from: int = 4, train=None) -> PlanCountScan:
+                       cond_from="auto", train=None) -> PlanCountScan:
     return PlanCountScan(
         shard, max_steps, interpret=interpret, tpc=tpc, cond_from=cond_from,
         train=train,
