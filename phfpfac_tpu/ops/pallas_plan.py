@@ -93,17 +93,6 @@ def _make_plan_kernel(
         sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
 
         rpc = _SUB * tpc
-        block = in_ref[:]
-        a_s = [block[i * _SUB : (i + 1) * _SUB, :] for i in range(tpc)]
-        b_s = [
-            block[i * _SUB + 1 : (i + 1) * _SUB + 1, :]
-            for i in range(tpc - 1)
-        ]
-        b_s.append(
-            jnp.concatenate(
-                [block[rpc - _SUB + 1 : rpc, :], halo_ref[0:1, :]], axis=0
-            )
-        )
         d_s = None
         if seg_on:
             # chars-remaining-before-cut per walker: a step consuming
@@ -114,17 +103,30 @@ def _make_plan_kernel(
                 lim = (pos & ~(seg_bytes - 1)) + (seg_bytes + halo_bytes)
                 d_s.append(lim - pos)
 
+        def tile_a(i: int):
+            return in_ref[pl.ds(i * _SUB, _SUB), :]
+
+        def tile_b(i: int):
+            if i < tpc - 1:
+                return in_ref[pl.ds(i * _SUB + 1, _SUB), :]
+            return jnp.concatenate(
+                [in_ref[pl.ds(rpc - _SUB + 1, _SUB - 1), :],
+                 halo_ref[0:1, :]], axis=0
+            )
+
         def window(i: int, off: int):
             """Tile i's pair-symbol stream at position p+off.
 
-            Computed DIRECTLY from the tile's two row blocks with two
-            static lane rotates + one static-mask select (cheaper than
-            the dynamic take_along_axis pair an incremental advance
-            needs, and it keeps ``cur`` out of the cond carry)."""
+            Two static lane rotates + one static-mask select over the
+            tile's row blocks, which are RE-READ from the VMEM ref
+            inside each step body: ref reads are effect-ordered, so a
+            long plan's windows cannot all be hoisted ahead of the
+            early-exit conds (pure-value windows were — 20-step plans
+            spilled the whole window set and ran 2x slower)."""
             if off == 0:
-                return a_s[i]
-            ra = pltpu.roll(a_s[i], _LANE - off, axis=1)
-            rb = pltpu.roll(b_s[i], _LANE - off, axis=1)
+                return tile_a(i)
+            ra = pltpu.roll(tile_a(i), _LANE - off, axis=1)
+            rb = pltpu.roll(tile_b(i), _LANE - off, axis=1)
             return jnp.where(lane < _LANE - off, ra, rb)
 
         # prologue (offset 0): dense depths-1+2 probe, or a 1-bank
@@ -133,7 +135,7 @@ def _make_plan_kernel(
         # strictly below it).
         disps, outs = [], []
         for i in range(tpc):
-            cur = a_s[i]
+            cur = tile_a(i)
             if p0_mode == "dense":
                 v = _lut(p0_ref, cur, nb_p0)
                 alive = v >= 0

@@ -483,12 +483,18 @@ class Matcher:
                     m[:, 0] += base
                 per_shard[s].append(m.reshape(-1, 3))
 
+        # every dispatch uses the SAME padded window length, so one
+        # executable serves any corpus size (XLA compiles per shape;
+        # per-size recompiles of the wide kernels cost minutes)
+        wlen = chunk_bytes + overlap
         with self.timer.phase("match"):
             base = 0
             while base < input_size:
                 body = min(chunk_bytes, input_size - base)
                 wend = min(base + body + overlap, input_size)
                 window = bytes(data[base:wend])
+                if len(window) < wlen:
+                    window += b"\x00" * (wlen - len(window))
                 resolvers = self._dispatch_flat_pallas(
                     window, wend - base
                 )
