@@ -193,7 +193,16 @@ def build_plan_tables(
         code_of, _sigma, cb = code
     pair_span = 1 << (2 * cb)
     mono_span = 1 << cb
+    # provisional prologue mode: the dense sigma^2 depths-1+2 table
+    # when it fits.  After the depth-1 mono candidate is laid out the
+    # choice is PRICED like any other step (see below): a trained
+    # layout's bounded depth-2 scan usually probes far fewer banks
+    # than the dense table, which every position scans in full.
     p0_mode = "dense" if pair_span <= 4096 else "s0"
+    if forced_kinds is not None and len(forced_kinds) > 0:
+        # stacked builds: the lead shard's prologue choice is implied
+        # by its kind list (first step at depth 1 = s0 prologue)
+        p0_mode = "s0" if forced_kinds[0][1] == 1 else "dense"
     pair_feasible = cb <= 7
 
     # ---- exact-cost DP over step kinds ------------------------------------
@@ -214,7 +223,9 @@ def build_plan_tables(
     exact = native.available()
     mono_cand: dict = {}  # d -> dict(offsets, ht_len, cols, banks)
     pair_cand: dict = {}  # d -> dict(offsets, ht_len, join, nib, banks)
-    d_lo = 2 if p0_mode == "dense" else 1
+    # candidates from depth 1 regardless of the provisional prologue
+    # mode — the d=1 mono layout prices the s0-chain alternative
+    d_lo = 1
     need_mono = need_pair = None
     forced_nib = {}
     if forced_kinds is not None:
@@ -345,6 +356,22 @@ def build_plan_tables(
     if forced_kinds is not None:
         plan_kinds = list(forced_kinds)
     else:
+        # price the prologue: dense sigma^2 table (every position
+        # scans all its banks, no verify) vs s0 probe + a normal
+        # depth-1 step (1 bank + the step's grouped-aware bank cost +
+        # its fixed cost).  Trained layouts usually make the chain far
+        # cheaper; exactness is identical.
+        if p0_mode == "dense" and 1 in mono_cand and D > 1:
+            cost_dense = 4.0 * ((pair_span + _LANE - 1) // _LANE)
+            cost_s0 = 4.0 * (1 + mono_cand[1]["banks"]) + _FIX_MONO
+            if 1 in pair_cand:
+                cost_s0 = min(
+                    cost_s0,
+                    4.0 * (1 + pair_cand[1]["banks"]) + _FIX_PAIR,
+                )
+            if cost_s0 < cost_dense:
+                p0_mode = "s0"
+        d_lo = 2 if p0_mode == "dense" else 1
         best = None
         for use_pair in (True, False):
             res = run_dp(use_pair)
