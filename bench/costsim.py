@@ -1,0 +1,275 @@
+"""Offline vop-cost simulator for the plan kernel (no TPU needed).
+
+Replays ops/pallas_plan's EXACT runtime control flow — prologue, per-
+step windows/probes, the trained grouped-scan boundaries gated by the
+cell-wide max live probe index, and the cell-level early-exit conds —
+over a real corpus with the real PlanTables, in vectorized NumPy, and
+prints the predicted per-step vop ledger and GB/s.
+
+Purpose: iterating on group geometry / layout / tpc / cond_from costs
+minutes of Mosaic compile per candidate on hardware; the simulator
+ranks candidates in seconds.  Constants below are calibrated against
+measured kexp runs (see PERF.md roofline); predictions are for
+RANKING, the TPU run of the winner is the number of record.
+
+Usage: python bench/costsim.py --dict english --mib 32 [--tpc 32]
+       [--cond-from 4] [--growth 3] [--floor 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+_LANE = 128
+TILE = 1024
+GROUP_MIN_NB = 16
+
+# calibrated per-(8,128)-vop costs (cycles); see PERF.md roofline
+C_BANK = 3.0      # broadcast + lane-gather + select, per bank per tile
+C_WINDOW = 3.0    # two static rolls + masked select (off > 0)
+C_IDX_MONO = 2.0  # mask + add
+C_IDX_PAIR = 1.0  # add
+C_FIN_MONO = 8.0
+C_FIN_PAIR = 13.0
+C_BOUND = 3.0     # masked-max tree per bounded probe, per tile
+C_GCHECK = 1.0    # per evaluated group boundary, per tile
+C_ALIVE = 1.5     # any_live min-tree, per tile
+C_STEP_FIX = 4.0  # residual per executed step per tile (scheduling)
+C_PROLOGUE_S0 = 8.0
+C_PROLOGUE_DENSE_PER_BANK = 3.0
+C_CELL_FIX = 40.0  # per-cell grid/epilogue overhead (cycles)
+VOP_RATE = 0.94e9  # measured effective (8,128)-vop issue rate (v5e)
+
+
+def group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
+    ends, e, size = [], 0, max(first, 2)
+    while e < nb:
+        e = min(e + size, nb)
+        ends.append(e)
+        size *= growth
+    return ends
+
+
+def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
+             growth: int = 3, floor: int = 4, verbose: bool = True):
+    """Returns (pred_gbps, vops_total, per_step_ledger)."""
+    code_of = np.asarray(pt.code_of, np.int32)
+    cb = pt.code_bits
+    cbm = (1 << cb) - 1
+    pair_mask = (1 << (2 * cb)) - 1
+    miss = pt.p0_miss
+    n = len(data)
+    cell_pos = tpc * TILE
+    n_cells = -(-n // cell_pos)
+    pad = n_cells * cell_pos - n
+
+    raw = np.frombuffer(data, np.uint8).astype(np.int32)
+    codes = code_of[raw]
+    miss_code = int(code_of.max())
+    # staged pair-symbol stream, padded with the miss code (stage_pairs)
+    ext = np.full(n + 64, miss_code, np.int32)
+    ext[:n] = codes
+    pair_sym = (np.append(ext[1:], miss_code) << cb) | ext
+
+    main_flat = np.asarray(pt.packed_banks, np.int32).ravel()
+    side_flat = np.asarray(pt.side_banks, np.int32).ravel()
+    p0_flat = np.asarray(pt.p0_banks, np.int32).ravel()
+
+    def lut(flat, idx, off, nb, k0):
+        rel = idx - k0 * _LANE
+        ok = (rel >= 0) & (rel < nb * _LANE)
+        out = np.full(idx.shape, -1, np.int32)
+        out[ok] = flat[off * _LANE + rel[ok]]
+        return out
+
+    # ---- prologue
+    ledger = []
+    vops = 0.0
+    matches = 0
+    if pt.p0_mode == "s0":
+        v = lut(p0_flat, ext[:n] * 1, 0, pt.p0_banks.shape[0], 0)
+        alive = v >= 0
+        matches += int((alive & ((v & 1) == 1)).sum())
+        disp = np.where(alive, v >> 1, miss)
+        vops += C_PROLOGUE_S0 * (n_cells * tpc)
+    else:
+        v = lut(pair_sym[:n], np.arange(0), 0, 1, 0)  # placeholder
+        raise NotImplementedError("dense p0 simulation not needed yet")
+    ledger.append(("p0", vops, 1.0, 0.0))
+
+    trained = pt.trained
+    cells = np.arange(n_cells)
+
+    def cell_reduce_max(arr):
+        """Per-cell max of an (n,) array (padded with -1)."""
+        full = np.full(n_cells * cell_pos, -1, np.int32)
+        full[:n] = arr
+        return full.reshape(n_cells, cell_pos).max(axis=1)
+
+    def cell_reduce_any(mask):
+        full = np.zeros(n_cells * cell_pos, bool)
+        full[:n] = mask
+        return full.reshape(n_cells, cell_pos).any(axis=1)
+
+    exec_frac_prev = 1.0
+    executed = np.ones(n_cells, bool)
+    for si, sp in enumerate(pt.steps):
+        off_chars = sp.depth0 - 1
+        live = disp != miss
+        if si >= cond_from:
+            executed = cell_reduce_any(live)
+        exec_frac = executed.mean()
+        n_exec = int(executed.sum())
+
+        cur = pair_sym[off_chars:off_chars + n]
+        if sp.kind == "mono":
+            idx = disp + (cur & cbm)
+            c_idx, c_fin = C_IDX_MONO, C_FIN_MONO
+        else:
+            idx = disp + cur
+            c_idx, c_fin = C_IDX_PAIR, C_FIN_PAIR
+
+        step_v = (C_WINDOW + c_idx + c_fin + C_ALIVE + C_STEP_FIX) \
+            * tpc * n_exec
+
+        # main probe
+        probed_banks = 0.0
+        bound_main = trained and sp.nb >= GROUP_MIN_NB
+        if bound_main:
+            first = max(floor, sp.hot_nb + 1)
+            ends = group_ends(sp.nb, first=first, growth=growth)
+            midx = np.where(live, idx, -1)
+            mx = cell_reduce_max(midx)
+            fired = np.full(n_cells, float(ends[0]))
+            checks = np.full(n_cells, 0.0)
+            for lo, hi in zip(ends[:-1], ends[1:]):
+                f = mx >= ((sp.k0 + lo) << 7)
+                fired += np.where(f, hi - lo, 0)
+                checks += 1
+            step_v += C_BOUND * tpc * n_exec
+            step_v += C_BANK * tpc * fired[executed].sum()
+            step_v += C_GCHECK * tpc * checks[executed].sum()
+            probed_banks = fired[executed].mean() if n_exec else 0.0
+        else:
+            step_v += C_BANK * sp.nb * tpc * n_exec
+            probed_banks = sp.nb
+
+        g = lut(main_flat, idx, sp.off, sp.nb, sp.k0)
+
+        # side probe (pair steps): cost only, side never chains
+        if sp.kind == "pair":
+            wshift = 3 if sp.s_nibble else 2
+            widx_raw = disp + (cur & cbm)
+            widx = widx_raw >> wshift
+            bound_side = trained and sp.s_nb >= GROUP_MIN_NB
+            if bound_side:
+                first = max(floor, sp.s_hot_nb + 1)
+                ends = group_ends(sp.s_nb, first=first, growth=growth)
+                midx = np.where(live, widx, -1)
+                mx = cell_reduce_max(midx)
+                fired = np.full(n_cells, float(ends[0]))
+                for lo, hi in zip(ends[:-1], ends[1:]):
+                    f = mx >= ((sp.s_k0 + lo) << 7)
+                    fired += np.where(f, hi - lo, 0)
+                step_v += (C_BOUND + C_GCHECK * (len(ends) - 1)) \
+                    * tpc * n_exec
+                step_v += C_BANK * tpc * fired[executed].sum()
+            else:
+                step_v += C_BANK * sp.s_nb * tpc * n_exec
+            step_v += 2.0 * tpc * n_exec  # widx shift+add
+
+        # chain + match counting (parity check vs the TPU run)
+        if sp.kind == "mono":
+            hit = live & ((g & cbm) == (cur & cbm))
+            matches += int((hit & ((g & (1 << cb)) != 0)).sum())
+            disp = np.where(hit, g >> (cb + 1), miss)
+        else:
+            w = lut(side_flat, widx, sp.s_off, sp.s_nb, sp.s_k0)
+            a1 = cur & cbm
+            if sp.s_nibble:
+                nib = (w >> ((widx_raw & 7) << 2)) & 15
+                fin_mid = live & (nib == (a1 & 7) + 1)
+            else:
+                byte = (w >> ((widx_raw & 3) << 3)) & 255
+                fin_mid = live & (byte == a1 + 1)
+            hit = live & ((g & pair_mask) == cur)
+            matches += int(fin_mid.sum())
+            matches += int((hit & ((g & (1 << (2 * cb))) != 0)).sum())
+            disp = np.where(hit, g >> (2 * cb + 1), miss)
+
+        vops += step_v
+        ledger.append((f"s{si}:{sp.kind}@d{sp.depth0}", step_v,
+                       exec_frac, probed_banks))
+        exec_frac_prev = exec_frac
+
+    vops += C_CELL_FIX * n_cells
+    cycles = vops
+    t = cycles / VOP_RATE
+    gbps = n / t / 1e9
+    if verbose:
+        for name, v, ef, pb in ledger:
+            print(f"  {name:16s} vops/cell={v / n_cells:8.0f} "
+                  f"exec={ef:6.3f} banks={pb:6.1f}")
+        print(f"  total vops/cell={vops / n_cells:.0f}  "
+              f"predicted {gbps:.3f} GB/s  matches={matches}")
+    return gbps, vops, ledger
+
+
+def load_dict(which):
+    from phfpfac_tpu.compile.tables import compile_patterns
+    from phfpfac_tpu.frontend.patterns import Pattern
+    from phfpfac_tpu.utils.config import PfacConfig
+
+    words = []
+    if which == "english":
+        for part in ("xaa", "xab", "xac", "xad"):
+            words += open(
+                f"/root/reference/regex_GPU_PHF/{part}", "rb").read().split()
+    elif which == "xaa":
+        words = open("/root/reference/regex_GPU_PHF/xaa", "rb").read().split()
+    else:
+        parts = ("xaa",) if which == "big" else ("xaa", "xab", "xac")
+        for part in parts:
+            words += open(
+                f"/root/reference/regex_GPU_PHF/experiment/bigenglishdic/"
+                f"{part}", "rb").read().split(b"\n")
+        words = [w for w in words if 0 < len(w) <= 32]
+    pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
+    compiled = compile_patterns(pats, PfacConfig(width=4096, num_shards=1))
+    return compiled.shards[0]
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from phfpfac_tpu.compile.plan import build_plan_tables
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dict", default="english",
+                    choices=["english", "xaa", "big", "full"])
+    ap.add_argument("--mib", type=int, default=32)
+    ap.add_argument("--tpc", type=int, default=32)
+    ap.add_argument("--cond-from", type=int, default=4)
+    ap.add_argument("--growth", type=int, default=3)
+    ap.add_argument("--floor", type=int, default=4)
+    ap.add_argument("--untrained", action="store_true")
+    args = ap.parse_args()
+
+    shard = load_dict(args.dict)
+    data = open("/root/reference/regex_GPU_PHF/1M", "rb").read() * args.mib
+    pt = build_plan_tables(
+        shard, train=None if args.untrained else data[: 1 << 20])
+    print(f"[costsim] dict={args.dict} mib={args.mib} tpc={args.tpc} "
+          f"cf={args.cond_from} growth={args.growth} floor={args.floor}")
+    simulate(pt, data, tpc=args.tpc, cond_from=args.cond_from,
+             growth=args.growth, floor=args.floor)
+
+
+if __name__ == "__main__":
+    main()

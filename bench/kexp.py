@@ -26,7 +26,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mib", type=int, default=32)
     ap.add_argument("--dict", default="english",
-                    choices=["english", "xaa", "big"])
+                    choices=["english", "xaa", "big", "full"])
     ap.add_argument("--untrained", action="store_true")
     ap.add_argument("--tpc", type=int, default=32)
     ap.add_argument("--cond-from", type=int, default=4)
@@ -50,7 +50,10 @@ def main() -> None:
                 f"/root/reference/regex_GPU_PHF/{part}", "rb"
             ).read().split()
     else:
-        for part in ("xaa", "xab", "xac"):
+        # "big" = the 156k-title Snort-scale dict (bigenglishdic/xaa alone,
+        # matching PERF.md's round-1 numbers); "full" = all 466k titles.
+        parts = ("xaa",) if args.dict == "big" else ("xaa", "xab", "xac")
+        for part in parts:
             words += open(
                 f"/root/reference/regex_GPU_PHF/experiment/bigenglishdic/{part}",
                 "rb",
