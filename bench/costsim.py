@@ -43,6 +43,8 @@ C_STEP_FIX = 4.0  # residual per executed step per tile (scheduling)
 C_PROLOGUE_S0 = 8.0
 C_PROLOGUE_DENSE_PER_BANK = 3.0
 C_CELL_FIX = 40.0  # per-cell grid/epilogue overhead (cycles)
+C_BANK_LOOP = 6.0  # cold dynamic-loop bank cost (gmode=capped tail)
+UNROLL_GROUPS = 2  # must track ops.pallas_plan._UNROLL_GROUPS
 VOP_RATE = 0.94e9  # measured effective (8,128)-vop issue rate (v5e)
 
 
@@ -56,7 +58,8 @@ def group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
 
 
 def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
-             growth: int = 3, floor: int = 4, verbose: bool = True):
+             growth: int = 3, floor: int = 4, gmode: str = "capped",
+             verbose: bool = True):
     """Returns (pred_gbps, vops_total, per_step_ledger)."""
     code_of = np.asarray(pt.code_of, np.int32)
     cb = pt.code_bits
@@ -100,7 +103,7 @@ def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
     else:
         v = lut(pair_sym[:n], np.arange(0), 0, 1, 0)  # placeholder
         raise NotImplementedError("dense p0 simulation not needed yet")
-    ledger.append(("p0", vops, 1.0, 0.0))
+    ledger.append(("p0", vops, 1.0, 0.0, 0.0))
 
     trained = pt.trained
     cells = np.arange(n_cells)
@@ -137,27 +140,38 @@ def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
         step_v = (C_WINDOW + c_idx + c_fin + C_ALIVE + C_STEP_FIX) \
             * tpc * n_exec
 
-        # main probe
-        probed_banks = 0.0
-        bound_main = trained and sp.nb >= GROUP_MIN_NB
-        if bound_main:
-            first = max(floor, sp.hot_nb + 1)
-            ends = group_ends(sp.nb, first=first, growth=growth)
-            midx = np.where(live, idx, -1)
+        def probe_cost(nb, hot, k0, pidx):
+            """(vops, mean probed banks, mean loop banks) for one
+            bounded probe, mirroring probe_bounded + gmode."""
+            if not (trained and nb >= GROUP_MIN_NB):
+                return C_BANK * nb * tpc * n_exec, float(nb), 0.0
+            first = max(floor, hot + 1)
+            ends = group_ends(nb, first=first, growth=growth)
+            tail_lo = None
+            if gmode == "capped" and len(ends) > UNROLL_GROUPS:
+                ends, tail_lo = ends[:UNROLL_GROUPS], ends[UNROLL_GROUPS - 1]
+            midx = np.where(live, pidx, -1)
             mx = cell_reduce_max(midx)
             fired = np.full(n_cells, float(ends[0]))
-            checks = np.full(n_cells, 0.0)
+            checks = float(len(ends) - 1)
+            loop_banks = np.zeros(n_cells)
             for lo, hi in zip(ends[:-1], ends[1:]):
-                f = mx >= ((sp.k0 + lo) << 7)
-                fired += np.where(f, hi - lo, 0)
+                fired += np.where(mx >= ((k0 + lo) << 7), hi - lo, 0)
+            if tail_lo is not None:
                 checks += 1
-            step_v += C_BOUND * tpc * n_exec
-            step_v += C_BANK * tpc * fired[executed].sum()
-            step_v += C_GCHECK * tpc * checks[executed].sum()
-            probed_banks = fired[executed].mean() if n_exec else 0.0
-        else:
-            step_v += C_BANK * sp.nb * tpc * n_exec
-            probed_banks = sp.nb
+                n_hi = np.clip((mx >> 7) - k0 + 1, tail_lo, nb)
+                loop_banks = np.where(
+                    mx >= ((k0 + tail_lo) << 7), n_hi - tail_lo, 0.0)
+            v = (C_BOUND + C_GCHECK * checks) * tpc * n_exec
+            v += C_BANK * tpc * fired[executed].sum()
+            v += C_BANK_LOOP * tpc * loop_banks[executed].sum()
+            pb = fired[executed].mean() if n_exec else 0.0
+            lb = loop_banks[executed].mean() if n_exec else 0.0
+            return v, pb, lb
+
+        v, probed_banks, loop_banks = probe_cost(
+            sp.nb, sp.hot_nb, sp.k0, idx)
+        step_v += v
 
         g = lut(main_flat, idx, sp.off, sp.nb, sp.k0)
 
@@ -166,22 +180,8 @@ def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
             wshift = 3 if sp.s_nibble else 2
             widx_raw = disp + (cur & cbm)
             widx = widx_raw >> wshift
-            bound_side = trained and sp.s_nb >= GROUP_MIN_NB
-            if bound_side:
-                first = max(floor, sp.s_hot_nb + 1)
-                ends = group_ends(sp.s_nb, first=first, growth=growth)
-                midx = np.where(live, widx, -1)
-                mx = cell_reduce_max(midx)
-                fired = np.full(n_cells, float(ends[0]))
-                for lo, hi in zip(ends[:-1], ends[1:]):
-                    f = mx >= ((sp.s_k0 + lo) << 7)
-                    fired += np.where(f, hi - lo, 0)
-                step_v += (C_BOUND + C_GCHECK * (len(ends) - 1)) \
-                    * tpc * n_exec
-                step_v += C_BANK * tpc * fired[executed].sum()
-            else:
-                step_v += C_BANK * sp.s_nb * tpc * n_exec
-            step_v += 2.0 * tpc * n_exec  # widx shift+add
+            sv, _, _ = probe_cost(sp.s_nb, sp.s_hot_nb, sp.s_k0, widx)
+            step_v += sv + 2.0 * tpc * n_exec  # widx shift+add
 
         # chain + match counting (parity check vs the TPU run)
         if sp.kind == "mono":
@@ -204,7 +204,7 @@ def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
 
         vops += step_v
         ledger.append((f"s{si}:{sp.kind}@d{sp.depth0}", step_v,
-                       exec_frac, probed_banks))
+                       exec_frac, probed_banks, loop_banks))
         exec_frac_prev = exec_frac
 
     vops += C_CELL_FIX * n_cells
@@ -212,9 +212,10 @@ def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
     t = cycles / VOP_RATE
     gbps = n / t / 1e9
     if verbose:
-        for name, v, ef, pb in ledger:
+        for name, v, ef, pb, *lb in ledger:
             print(f"  {name:16s} vops/cell={v / n_cells:8.0f} "
-                  f"exec={ef:6.3f} banks={pb:6.1f}")
+                  f"exec={ef:6.3f} banks={pb:6.1f}"
+                  + (f" loop={lb[0]:5.2f}" if lb else ""))
         print(f"  total vops/cell={vops / n_cells:.0f}  "
               f"predicted {gbps:.3f} GB/s  matches={matches}")
     return gbps, vops, ledger
@@ -258,17 +259,37 @@ def main():
     ap.add_argument("--cond-from", type=int, default=4)
     ap.add_argument("--growth", type=int, default=3)
     ap.add_argument("--floor", type=int, default=4)
+    ap.add_argument("--gmode", default="capped",
+                    choices=["capped", "geo"])
     ap.add_argument("--untrained", action="store_true")
+    ap.add_argument("--plan", default=None,
+                    help="forced step kinds from depth 1, e.g. 'mmmpppp' "
+                         "(m = mono/1 depth, p = pair/2 depths); padded "
+                         "with the last char to cover the automaton")
     args = ap.parse_args()
 
     shard = load_dict(args.dict)
     data = open("/root/reference/regex_GPU_PHF/1M", "rb").read() * args.mib
+    forced = None
+    if args.plan:
+        D = shard.max_pat_len
+        forced, d, i = [], 1, 0
+        while d < D:
+            c = args.plan[i] if i < len(args.plan) else args.plan[-1]
+            if c == "p" and d + 1 < D:
+                forced.append(("pair", d)); d += 2
+            else:
+                forced.append(("mono", d)); d += 1
+            i += 1
+        forced = tuple(forced)
     pt = build_plan_tables(
-        shard, train=None if args.untrained else data[: 1 << 20])
+        shard, train=None if args.untrained else data[: 1 << 20],
+        forced_kinds=forced)
     print(f"[costsim] dict={args.dict} mib={args.mib} tpc={args.tpc} "
-          f"cf={args.cond_from} growth={args.growth} floor={args.floor}")
+          f"cf={args.cond_from} growth={args.growth} floor={args.floor} "
+          f"plan={args.plan or 'auto'} kinds={''.join(k[0] for k in pt.kinds)}")
     simulate(pt, data, tpc=args.tpc, cond_from=args.cond_from,
-             growth=args.growth, floor=args.floor)
+             growth=args.growth, floor=args.floor, gmode=args.gmode)
 
 
 if __name__ == "__main__":

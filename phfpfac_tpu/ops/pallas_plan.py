@@ -62,6 +62,11 @@ def _group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
 from phfpfac_tpu.compile.depth import GROUP_MIN_NB as _GROUP_MIN_NB  # noqa: E402
 # (single knob shared with the trained DP cost model, compile.depth)
 
+# gmode="capped": number of geometric groups kept as UNROLLED probe
+# code before the cold dynamic-bank loop takes over (code size per
+# step collapses from O(table banks) to O(hot span))
+_UNROLL_GROUPS = 2
+
 
 def _make_plan_kernel(
     *,
@@ -215,9 +220,23 @@ def _make_plan_kernel(
                     for _ in range(tpc)
                 )
                 return list(jax.lax.fori_loop(0, n, body, init))
-            # "geo": unrolled geometric groups behind scalar preds;
-            # first group covers the trained hot span, then x3
+            # "geo"/"capped": unrolled geometric groups behind scalar
+            # preds; first group covers the trained hot span, then x3.
+            # "capped" additionally truncates the UNROLLED code after
+            # a couple of groups and serves the cold tail from ONE
+            # dynamic-bank fori_loop: unrolled probe code is O(full
+            # table) x tpc — at Snort scale (~2000 banks) that is
+            # ~200k vector instructions and the kernel goes
+            # instruction-fetch-bound (measured 6x below the vop
+            # model) even though the cold groups are almost never
+            # probed.  The loop body is O(1) code, fires only when a
+            # live walker's probe bank lies past the unrolled span,
+            # and scans only up to the max live bank.
             ends = _group_ends(nb, first=max(4, hot + 1), growth=3)
+            if gmode == "capped" and len(ends) > _UNROLL_GROUPS:
+                ends, tail_lo = ends[:_UNROLL_GROUPS], ends[_UNROLL_GROUPS - 1]
+            else:
+                tail_lo = None
             accs = tuple(
                 _lut_range(
                     ref, idxs[i],
@@ -235,6 +254,29 @@ def _make_plan_kernel(
 
                 accs = jax.lax.cond(
                     mx >= ((k0 + lo) << 7), probe, lambda a: a, accs
+                )
+            if tail_lo is not None:
+                def cold(accs, lo=tail_lo):
+                    n_hi = jnp.clip((mx >> 7) - k0 + 1, lo, nb)
+
+                    def body(k, accs):
+                        row = jnp.broadcast_to(
+                            ref[pl.ds(off + k, 1), :], (_SUB, _LANE)
+                        )
+                        kk = k + k0
+                        return tuple(
+                            jnp.where(
+                                banks[i] == kk,
+                                jnp.take_along_axis(row, lanes[i], axis=1),
+                                accs[i],
+                            )
+                            for i in range(tpc)
+                        )
+
+                    return jax.lax.fori_loop(lo, n_hi, body, accs)
+
+                accs = jax.lax.cond(
+                    mx >= ((k0 + tail_lo) << 7), cold, lambda a: a, accs
                 )
             return list(accs)
 
@@ -416,15 +458,20 @@ def resolve_cond_from(pt: PlanTables, cond_from) -> int:
 
 
 def _default_gmode() -> str:
-    """Bounded-scan strategy for big tables: "geo" = unrolled geometric
-    groups behind scalar preds from the max live probe index (default;
-    measured 1.31 vs 0.90 GB/s unbounded, english 8 MiB); "loop" =
-    fori_loop with a dynamic bank bound (measured FAR slower — the
-    per-bank dynamic row loads and while-loop scheduling defeat Mosaic
-    pipelining); "none" = unbounded full scans (diagnostic)."""
+    """Bounded-scan strategy for big tables: "capped" = geometric
+    groups with only the first _UNROLL_GROUPS unrolled, cold tail via
+    one dynamic-bank fori_loop (default — keeps probe CODE O(hot
+    span), which is what lets Snort-scale tables run at the vop model
+    instead of instruction-fetch-bound); "geo" = fully unrolled
+    geometric groups behind scalar preds (measured 1.31 vs 0.90 GB/s
+    unbounded on english 8 MiB, but ~200k instructions at Snort
+    scale); "loop" = fori_loop over ALL banks with a dynamic bound
+    (measured FAR slower as the main path — dynamic row loads defeat
+    Mosaic pipelining — which is why "capped" fires its loop only for
+    cold spills); "none" = unbounded full scans (diagnostic)."""
     import os
 
-    return os.environ.get("PHFPFAC_GMODE", "geo")
+    return os.environ.get("PHFPFAC_GMODE", "capped")
 
 
 def _specs(tpc):

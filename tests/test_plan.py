@@ -152,16 +152,27 @@ def test_bounded_scan_modes_parity():
     # bounded path by monkeypatching the threshold
     import phfpfac_tpu.ops.pallas_plan as pp
 
-    orig = pp._GROUP_MIN_NB
+    orig, orig_u = pp._GROUP_MIN_NB, pp._UNROLL_GROUPS
     try:
         pp._GROUP_MIN_NB = 1
-        for mode in ("loop", "geo"):
+        # _UNROLL_GROUPS=1 forces the capped mode's cold dynamic-bank
+        # fori_loop to exist (and fire) even on these small tables
+        pp._UNROLL_GROUPS = 1
+        for mode in ("loop", "geo", "capped"):
             os.environ["PHFPFAC_GMODE"] = mode
             sc = PlanShardScanner(sh, interpret=True, train=data)
             assert sc.pt.trained
             results[mode] = map(np.asarray, sc.scan(padded, n, cfg, ms))
+        # cold-spill variant: train on a skewed head so scanned data
+        # probes banks past the trained hot span (the loop tail must
+        # cover them exactly)
+        os.environ["PHFPFAC_GMODE"] = "capped"
+        sc = PlanShardScanner(sh, interpret=True, train=data[:512])
+        assert sc.pt.trained
+        results["capped-spill"] = map(np.asarray, sc.scan(padded, n, cfg, ms))
     finally:
         pp._GROUP_MIN_NB = orig
+        pp._UNROLL_GROUPS = orig_u
         os.environ.pop("PHFPFAC_GMODE", None)
     for mode, (c2, b2) in results.items():
         np.testing.assert_array_equal(c1[:n], c2[:n], err_msg=mode)
