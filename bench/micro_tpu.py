@@ -133,7 +133,103 @@ def bench_pallas_gather():
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
-    bench_gather()
-    bench_gather_2d()
-    bench_pallas_gather()
-    bench_scan_1mb()
+    if "--ilp" in sys.argv:
+        bench_vpu_ilp()
+    else:
+        bench_gather()
+        bench_gather_2d()
+        bench_pallas_gather()
+        bench_scan_1mb()
+        bench_vpu_ilp()
+
+
+def bench_vpu_ilp():
+    """Peak (8,128)-int32 vop issue rate vs dependency structure.
+
+    Discriminates "the kernel is at the VPU ceiling" from "Mosaic
+    issues ~1 op/cycle on a dependent chain": v5e's VPU has multiple
+    vector ALUs, so K independent chains should exceed one chain's
+    rate if the scheduler can dual-issue.  Also measures the banked
+    probe triple (broadcast row + take_along_axis + select) in
+    isolation — the plan kernel's dominant op mix.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    print("== VPU ILP (pallas, (8,128) int32) ==", flush=True)
+    rng = np.random.default_rng(0)
+    rows = 512  # 64 tiles of (8,128)
+    x = jnp.asarray(rng.integers(1, 1000, (rows, 128), dtype=np.int32))
+    N_OPS = 4096  # vops per tile per call
+
+    def run(label, kernel):
+        f = jax.jit(
+            lambda a: pl.pallas_call(
+                kernel,
+                grid=(rows // 8,),
+                in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0))],
+                out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            )(a)
+        )
+        dt = timeit(f, x)
+        total = N_OPS * (rows // 8)
+        print(f"  {label:24s} {dt*1e3:8.3f} ms  "
+              f"{total/dt/1e9:6.2f} Gvop/s", flush=True)
+
+    def k_chain(in_ref, out_ref):
+        v = in_ref[:]
+        for _ in range(N_OPS):
+            v = v * 3 + 1
+        out_ref[:] = v
+
+    def k_ilp4(in_ref, out_ref):
+        vs = [in_ref[:] + i for i in range(4)]
+        for _ in range(N_OPS // 4 - 1):
+            vs = [v * 3 + 1 for v in vs]
+        out_ref[:] = vs[0] ^ vs[1] ^ vs[2] ^ vs[3]
+
+    def k_ilp8(in_ref, out_ref):
+        vs = [in_ref[:] + i for i in range(8)]
+        for _ in range(N_OPS // 8 - 1):
+            vs = [v * 3 + 1 for v in vs]
+        r = vs[0]
+        for v in vs[1:]:
+            r = r ^ v
+        out_ref[:] = r
+
+    run("dependent chain", k_chain)
+    run("4 indep chains", k_ilp4)
+    run("8 indep chains", k_ilp8)
+
+    # the probe mix: broadcast+gather+select per "bank"
+    banks = jnp.asarray(rng.integers(0, 1000, (64, 128), dtype=np.int32))
+
+    def k_probe(bank_ref, in_ref, out_ref):
+        idx = in_ref[:] & 127
+        bank = in_ref[:] & 63
+        acc = jnp.full((8, 128), -1, jnp.int32)
+        n_banks = N_OPS // 3
+        for k in range(n_banks):
+            row = jnp.broadcast_to(bank_ref[k % 64, :][None, :], idx.shape)
+            g = jnp.take_along_axis(row, idx, axis=1)
+            acc = jnp.where(bank == (k % 64), g, acc)
+        out_ref[:] = acc
+
+    f = jax.jit(
+        lambda b, a: pl.pallas_call(
+            k_probe,
+            grid=(rows // 8,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        )(b, a)
+    )
+    dt = timeit(f, banks, x)
+    total = N_OPS * (rows // 8)
+    print(f"  {'probe triple':24s} {dt*1e3:8.3f} ms  "
+          f"{total/dt/1e9:6.2f} Gvop/s (3 vops/bank accounting)",
+          flush=True)

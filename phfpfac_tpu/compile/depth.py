@@ -320,8 +320,11 @@ def _layout_banks(offsets, csr_offs, cols, div: int = 1) -> int:
 
 
 # Kernel grouping threshold (ops.pallas_plan's grouped bank scan and
-# the trained DP cost model must agree on which tables group).
-GROUP_MIN_NB = 16
+# the trained DP cost model must agree on which tables group).  8
+# (was 16): with the capped unroll keeping probe code small, bounding
+# mid-size tables pays off — offline cost sim (bench/costsim.py) puts
+# english at 2.55 vs 2.26 GB/s and the 156k dict at 2.0 model-GB/s.
+GROUP_MIN_NB = 8
 
 
 def _hot_banks(offsets, csr_offs, cols, w, div: int = 1) -> float:
