@@ -27,7 +27,10 @@ import numpy as np
 
 _LANE = 128
 TILE = 1024
-GROUP_MIN_NB = 16
+from phfpfac_tpu.compile.depth import (  # single shared knobs
+    GROUP_FLOOR,
+    GROUP_MIN_NB,
+)
 
 # calibrated per-(8,128)-vop costs (cycles); see PERF.md roofline
 C_BANK = 3.0      # broadcast + lane-gather + select, per bank per tile
@@ -58,7 +61,7 @@ def group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
 
 
 def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
-             growth: int = 3, floor: int = 4, gmode: str = "capped",
+             growth: int = 3, floor: int = GROUP_FLOOR, gmode: str = "capped",
              verbose: bool = True):
     """Returns (pred_gbps, vops_total, per_step_ledger)."""
     code_of = np.asarray(pt.code_of, np.int32)
@@ -258,7 +261,7 @@ def main():
     ap.add_argument("--tpc", type=int, default=32)
     ap.add_argument("--cond-from", type=int, default=4)
     ap.add_argument("--growth", type=int, default=3)
-    ap.add_argument("--floor", type=int, default=4)
+    ap.add_argument("--floor", type=int, default=GROUP_FLOOR)
     ap.add_argument("--gmode", default="capped",
                     choices=["capped", "geo"])
     ap.add_argument("--untrained", action="store_true")

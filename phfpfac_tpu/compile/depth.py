@@ -326,6 +326,12 @@ def _layout_banks(offsets, csr_offs, cols, div: int = 1) -> int:
 # english at 2.55 vs 2.26 GB/s and the 156k dict at 2.0 model-GB/s.
 GROUP_MIN_NB = 8
 
+# Minimum size of the FIRST bank group (the one probed
+# unconditionally).  2 (was 4): cold steps with hot_nb <= 1 probe two
+# banks + one pred instead of four — offline sim worth +4% english,
+# flat elsewhere.
+GROUP_FLOOR = 2
+
 
 def _hot_banks(offsets, csr_offs, cols, w, div: int = 1) -> float:
     """Banks the grouped scan expects to probe for a trained layout:

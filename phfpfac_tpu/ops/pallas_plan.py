@@ -59,8 +59,11 @@ def _group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
     return ends
 
 
-from phfpfac_tpu.compile.depth import GROUP_MIN_NB as _GROUP_MIN_NB  # noqa: E402
-# (single knob shared with the trained DP cost model, compile.depth)
+from phfpfac_tpu.compile.depth import (  # noqa: E402
+    GROUP_FLOOR as _GROUP_FLOOR,
+    GROUP_MIN_NB as _GROUP_MIN_NB,
+)
+# (single knobs shared with the trained DP cost model, compile.depth)
 
 # gmode="capped": number of geometric groups kept as UNROLLED probe
 # code before the cold dynamic-bank loop takes over (code size per
@@ -232,7 +235,7 @@ def _make_plan_kernel(
             # probed.  The loop body is O(1) code, fires only when a
             # live walker's probe bank lies past the unrolled span,
             # and scans only up to the max live bank.
-            ends = _group_ends(nb, first=max(4, hot + 1), growth=3)
+            ends = _group_ends(nb, first=max(_GROUP_FLOOR, hot + 1), growth=3)
             if gmode == "capped" and len(ends) > _UNROLL_GROUPS:
                 ends, tail_lo = ends[:_UNROLL_GROUPS], ends[_UNROLL_GROUPS - 1]
             else:

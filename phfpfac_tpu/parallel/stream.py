@@ -8,6 +8,10 @@ deployment needs two more shapes, both built on the same engines:
   contains the match's last byte.  Each feed rescans only the
   ``max_pat_len - 1`` tail bytes of earlier data (the host-side
   version of the kernel's halo overlap, master_kernel.cu:129-135).
+  Segment-truncation configs stream too: scan windows stay aligned to
+  global segment boundaries and a segment's matches are reported once
+  its walk window (segment end + halo) has arrived — ``finish()``
+  flushes the final partial segment at end-of-stream.
 * ``match_many`` — scan a batch of small buffers in ONE device
   dispatch by concatenation; matches that would straddle a buffer
   boundary are dropped in the decode (walks are position-local, so
@@ -35,16 +39,24 @@ class StreamMatcher:
         *,
         engine: str = "turbo",
     ):
-        if config.truncation == "segment":
-            raise ValueError(
-                "StreamMatcher requires truncation='none': segment "
-                "boundaries are window-local, so chunking would change "
-                "which matches get truncated"
-            )
         self.matcher = Matcher(compiled, config, engine=engine)
         self.overlap = max(compiled.max_pat_len - 1, 0)
         self._tail = b""
         self._total = 0  # bytes fed so far
+        # Segment truncation (reference master_kernel.cu:141-144) is
+        # POSITIONAL — a match starting in segment S may read up to
+        # end(S) + halo — so streamed scans stay equivalent to the
+        # one-shot scan as long as (a) every scan window starts on a
+        # global segment boundary (local cuts == global cuts) and (b)
+        # segment S's matches are reported only once bytes up to
+        # end(S) + halo have arrived (its walks can never extend
+        # further).  The unfinalized tail is rescanned next feed;
+        # call finish() at end-of-stream to flush it.
+        self.seg_mode = config.truncation == "segment"
+        if self.seg_mode:
+            self.seg = config.segment_bytes
+            self.halo = config.halo_bytes
+            self._reported = 0  # finalized prefix (multiple of seg)
 
     def feed(self, chunk: bytes) -> np.ndarray:
         """Scan ``chunk``; return the NEW matches as int64 [(global
@@ -71,27 +83,31 @@ class StreamMatcher:
         base = self._total - len(self._tail)
         prev_end = self._total
         self._total += len(chunk)
-        self._tail = window[-self.overlap :] if self.overlap else b""
-
-        if self.matcher.engine == "pallas":
-            resolvers = self.matcher._dispatch_flat_pallas(
-                window, len(window)
+        if self.seg_mode:
+            # finalized prefix: segments whose full walk window
+            # (end + halo) has arrived; everything past it is rescanned
+            done_end = max(
+                (self._total - self.halo) // self.seg * self.seg, base
             )
-        else:
-            resolvers = None
+            self._tail = window[done_end - base:]
+            self._reported = done_end
+            scan = self._scan_async(window)
+
+            def resolve():
+                matches = scan()
+                if matches.size == 0:
+                    return matches.reshape(0, 2)
+                gpos = matches[:, 0] + base
+                keep = gpos < done_end
+                return np.stack([gpos[keep], matches[keep][:, 1]], axis=1)
+
+            return resolve
+
+        self._tail = window[-self.overlap :] if self.overlap else b""
+        scan = self._scan_async(window)
 
         def resolve():
-            if resolvers is not None:
-                from phfpfac_tpu.parallel.merge import merge_flat_matches
-
-                flats = [r() for r in resolvers]
-                matches = np.asarray(merge_flat_matches(
-                    self.matcher.compiled, flats, len(window)
-                ))
-            else:
-                matches = np.asarray(
-                    self.matcher.match(window, input_size=len(window))
-                )
+            matches = scan()
             if matches.size == 0:
                 return matches.reshape(0, 2)
             gpos = matches[:, 0] + base
@@ -102,6 +118,44 @@ class StreamMatcher:
             return np.stack([gpos[keep], matches[keep][:, 1]], axis=1)
 
         return resolve
+
+    def finish(self) -> np.ndarray:
+        """End-of-stream flush (segment mode): scan and report the
+        buffered not-yet-finalized tail — no further bytes can extend
+        its walks, so its matches are exactly the one-shot scan's.
+        Exact mode reports every match as its last byte arrives and
+        has nothing pending; returns the empty array there."""
+        empty = np.empty((0, 2), dtype=np.int64)
+        if not self.seg_mode or not self._tail:
+            self._tail = b""
+            return empty
+        window, base = self._tail, self._reported
+        self._tail = b""
+        self._reported = self._total
+        matches = self._scan_async(window)()
+        if matches.size == 0:
+            return empty
+        return np.stack([matches[:, 0] + base, matches[:, 1]], axis=1)
+
+    def _scan_async(self, window: bytes):
+        """Dispatch a window scan; resolver returns raw [(pos, id)]."""
+        if self.matcher.engine == "pallas":
+            resolvers = self.matcher._dispatch_flat_pallas(
+                window, len(window)
+            )
+
+            def resolve():
+                from phfpfac_tpu.parallel.merge import merge_flat_matches
+
+                flats = [r() for r in resolvers]
+                return np.asarray(merge_flat_matches(
+                    self.matcher.compiled, flats, len(window)
+                ))
+
+            return resolve
+        return lambda: np.asarray(
+            self.matcher.match(window, input_size=len(window))
+        )
 
     def _pattern_lengths(self) -> np.ndarray:
         if not hasattr(self, "_plen"):

@@ -69,13 +69,56 @@ def test_match_many_drops_boundary_straddlers():
     assert [tuple(x) for x in outs[2].tolist()] == [(0, 1)]
 
 
-def test_stream_rejects_segment_truncation():
-    words = [b"ab"]
-    pats = [Pattern(1, b"ab")]
-    cfg = PfacConfig(width=256, num_shards=1, truncation="segment")
+@pytest.mark.parametrize("chunk_size", [61, 512, 700, 5000])
+def test_stream_segment_mode_equals_one_shot(reference_dir, chunk_size):
+    """Segment-truncation streaming: union of feeds + finish() ==
+    one-shot scan with the same segment geometry, exactly once."""
+    words = (reference_dir / "xaa").read_bytes().split()[:300] + [
+        b"the", b"there", b"cat"
+    ]
+    data = (reference_dir / "1M").read_bytes()[:20000]
+    pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
+    cfg = PfacConfig(width=256, num_shards=2, truncation="segment",
+                     segment_bytes=512, halo_bytes=64)
     compiled = compile_patterns(pats, cfg)
-    with pytest.raises(ValueError, match="segment"):
-        StreamMatcher(compiled, cfg)
+    sm = StreamMatcher(compiled, cfg)
+    got = []
+    for i in range(0, len(data), chunk_size):
+        got += [tuple(x) for x in sm.feed(data[i:i + chunk_size]).tolist()]
+    got += [tuple(x) for x in sm.finish().tolist()]
+    want = [
+        tuple(x)
+        for x in np.asarray(
+            Matcher(compiled, cfg).match(data, input_size=len(data))
+        ).tolist()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(got) == len(set(enumerate(got)))  # exactly once
+
+
+def test_stream_segment_mode_pallas(reference_dir):
+    """Same equivalence through the pallas dispatch path (interpret)."""
+    words = [b"aaaa", b"aa", b"a", b"aaa", b"the", b"cat"]
+    data = (b"aaathe cat aaaa" * 30
+            + (reference_dir / "1M").read_bytes()[:3000])
+    pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
+    cfg = PfacConfig(width=256, num_shards=1, truncation="segment",
+                     segment_bytes=512, halo_bytes=32, interpret=True)
+    compiled = compile_patterns(pats, cfg)
+    sm = StreamMatcher(compiled, cfg, engine="pallas")
+    got = []
+    for i in range(0, len(data), 777):
+        got += [tuple(x) for x in sm.feed(data[i:i + 777]).tolist()]
+    got += [tuple(x) for x in sm.finish().tolist()]
+    want = [
+        tuple(x)
+        for x in np.asarray(
+            Matcher(compiled, cfg, engine="pallas").match(
+                data, input_size=len(data)
+            )
+        ).tolist()
+    ]
+    assert sorted(got) == sorted(want)
 
 
 def test_feed_async_pipelines(reference_dir):
