@@ -26,11 +26,39 @@ from phfpfac_tpu.ops.pallas_pair import stage_pairs
 from phfpfac_tpu.ops.pallas_scan import _LANE, _SUB, TILE, _lut
 
 
+def _probe_merge() -> str:
+    """Bank-merge dependency shape (A/B knob, read at trace time).
+
+    "chain" (default): acc = where(bank==k, g, acc) — one serial
+    select chain per tile, minimal op count (3/bank).  "tree": mask
+    each bank's gather to -1 and combine with a balanced max tree —
+    one extra vop per bank but dependency depth log2(nb), exposing
+    ILP if the VPU can issue >1 op/cycle (sound: table entries are
+    nonnegative, empty slots and the init are -1, and at most one
+    bank matches any walker)."""
+    import os
+
+    return os.environ.get("PHFPFAC_PROBE_MERGE", "chain")
+
+
 def _lut_range(banks_ref, idx, acc, lo: int, hi: int, off: int = 0,
                k0: int = 0):
     """_lut restricted to banks [lo, hi), merged into ``acc``."""
     bank = idx >> 7
     lane = idx & (_LANE - 1)
+    if _probe_merge() == "tree" and hi - lo >= 4:
+        parts = [acc]
+        for k in range(lo, hi):
+            row = jnp.broadcast_to(banks_ref[off + k, :][None, :], idx.shape)
+            g = jnp.take_along_axis(row, lane, axis=1)
+            parts.append(jnp.where(bank == k + k0, g, jnp.int32(-1)))
+        while len(parts) > 1:
+            parts = [
+                jnp.maximum(parts[i], parts[i + 1])
+                if i + 1 < len(parts) else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
+        return parts[0]
     for k in range(lo, hi):
         row = jnp.broadcast_to(banks_ref[off + k, :][None, :], idx.shape)
         g = jnp.take_along_axis(row, lane, axis=1)
@@ -291,9 +319,12 @@ def _make_plan_kernel(
             can never verify."""
             bit0 = sp.depth0 - 1
             if sp.kind == "mono":
+                # one masked compare against sym and sym|finbit each:
+                # saves an op vs extracting the fin bit separately
                 sym = cur & cbm
-                hit = (g & cbm) == sym
-                fin = hit & ((g & (1 << cb)) != 0)
+                gs = g & (cbm | (1 << cb))
+                fin = gs == (sym | (1 << cb))
+                hit = (gs == sym) | fin
                 if emit_bitmap:
                     out = out | jnp.where(fin, jnp.int32(1) << bit0, 0)
                 else:
@@ -316,12 +347,14 @@ def _make_plan_kernel(
                         jax.lax.shift_right_logical(w, (sidx & 3) << 3)
                     ) & 255
                     fin_mid = byte == a1 + 1
-                hit = (g & pair_mask) == cur
+                gs = g & (pair_mask | (1 << (2 * cb)))
+                fin_end = gs == (cur | (1 << (2 * cb)))
+                hit = (gs == cur) | fin_end
                 if ok2 is not None:
                     # segment cut between the pair's two chars: the mid
                     # completion stands, the end match and chain do not
                     hit = hit & ok2
-                fin_end = hit & ((g & (1 << (2 * cb))) != 0)
+                    fin_end = fin_end & ok2
                 if emit_bitmap:
                     out = (
                         out
