@@ -229,6 +229,17 @@ def load_dict(which):
     from phfpfac_tpu.frontend.patterns import Pattern
     from phfpfac_tpu.utils.config import PfacConfig
 
+    if which == "binary":
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "binbench", "/root/repo/bench/binary.py")
+        bb = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bb)
+        sigs = bb.make_signatures(5000)
+        pats = [Pattern(i + 1, w) for i, w in enumerate(sigs)]
+        return compile_patterns(
+            pats, PfacConfig(width=4096, num_shards=1)).shards[0]
     words = []
     if which == "english":
         for part in ("xaa", "xab", "xac", "xad"):
@@ -256,7 +267,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--dict", default="english",
-                    choices=["english", "xaa", "big", "full"])
+                    choices=["english", "xaa", "big", "full", "binary"])
     ap.add_argument("--mib", type=int, default=32)
     ap.add_argument("--tpc", type=int, default=32)
     ap.add_argument("--cond-from", type=int, default=4)
@@ -272,7 +283,11 @@ def main():
     args = ap.parse_args()
 
     shard = load_dict(args.dict)
-    data = open("/root/reference/regex_GPU_PHF/1M", "rb").read() * args.mib
+    if args.dict == "binary":
+        rng = __import__("numpy").random.default_rng(1)
+        data = rng.integers(0, 256, args.mib << 20, dtype="uint8").tobytes()
+    else:
+        data = open("/root/reference/regex_GPU_PHF/1M", "rb").read() * args.mib
     forced = None
     if args.plan:
         D = shard.max_pat_len
