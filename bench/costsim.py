@@ -62,7 +62,7 @@ def group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
 
 def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
              growth: int = 3, floor: int = GROUP_FLOOR, gmode: str = "capped",
-             verbose: bool = True):
+             ggeom: str = "hot", verbose: bool = True):
     """Returns (pred_gbps, vops_total, per_step_ledger)."""
     code_of = np.asarray(pt.code_of, np.int32)
     cb = pt.code_bits
@@ -148,11 +148,25 @@ def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
             bounded probe, mirroring probe_bounded + gmode."""
             if not (trained and nb >= GROUP_MIN_NB):
                 return C_BANK * nb * tpc * n_exec, float(nb), 0.0
-            first = max(floor, hot + 1)
-            ends = group_ends(nb, first=first, growth=growth)
-            tail_lo = None
-            if gmode == "capped" and len(ends) > UNROLL_GROUPS:
-                ends, tail_lo = ends[:UNROLL_GROUPS], ends[UNROLL_GROUPS - 1]
+            if ggeom == "fine":
+                # fine geometric ladder from the floor; unroll every
+                # group up to the hot span, cold loop past it.  Cells
+                # whose live walkers stay in the first banks stop at
+                # the matching rung instead of paying the hot span.
+                ends, e = [], 0
+                size = max(floor, 2)
+                while e < min(hot + 1, nb):
+                    e = min(e + size, nb)
+                    ends.append(e)
+                    size *= 2
+                tail_lo = ends[-1] if ends[-1] < nb else None
+            else:
+                first = max(floor, hot + 1)
+                ends = group_ends(nb, first=first, growth=growth)
+                tail_lo = None
+                if gmode == "capped" and len(ends) > UNROLL_GROUPS:
+                    ends, tail_lo = (
+                        ends[:UNROLL_GROUPS], ends[UNROLL_GROUPS - 1])
             midx = np.where(live, pidx, -1)
             mx = cell_reduce_max(midx)
             fired = np.full(n_cells, float(ends[0]))
@@ -275,6 +289,7 @@ def main():
     ap.add_argument("--floor", type=int, default=GROUP_FLOOR)
     ap.add_argument("--gmode", default="capped",
                     choices=["capped", "geo"])
+    ap.add_argument("--ggeom", default="hot", choices=["hot", "fine"])
     ap.add_argument("--untrained", action="store_true")
     ap.add_argument("--plan", default=None,
                     help="forced step kinds from depth 1, e.g. 'mmmpppp' "
@@ -307,7 +322,8 @@ def main():
           f"cf={args.cond_from} growth={args.growth} floor={args.floor} "
           f"plan={args.plan or 'auto'} kinds={''.join(k[0] for k in pt.kinds)}")
     simulate(pt, data, tpc=args.tpc, cond_from=args.cond_from,
-             growth=args.growth, floor=args.floor, gmode=args.gmode)
+             growth=args.growth, floor=args.floor, gmode=args.gmode,
+             ggeom=args.ggeom)
 
 
 if __name__ == "__main__":
