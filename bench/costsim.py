@@ -39,7 +39,9 @@ C_IDX_MONO = 2.0  # mask + add
 C_IDX_PAIR = 1.0  # add
 C_FIN_MONO = 8.0
 C_FIN_PAIR = 13.0
-C_BOUND = 3.0     # masked-max tree per bounded probe, per tile
+C_BOUND = 2.0     # unmasked max tree per bounded probe, per tile
+                  # (dead-zone layout: dead probes sit below k0, no
+                  # live-masking selects in the bound)
 C_GCHECK = 1.0    # per evaluated group boundary, per tile
 C_ALIVE = 1.5     # any_live min-tree, per tile
 C_STEP_FIX = 4.0  # residual per executed step per tile (scheduling)

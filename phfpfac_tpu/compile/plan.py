@@ -30,13 +30,15 @@ Entry layouts (int32):
     pair:  (next_disp << (2CB+1))  | (fin << 2CB)  | pair
     P0:    (next_disp << 2) | (fin2 << 1) | fin1      (dense; no verify)
 
-ONE miss sentinel serves the whole plan — all-ones in the NARROWEST
-value field (the pair kind's, 30-2CB bits) — so dead walkers compare
-against a single constant regardless of which step kind killed them,
-and every table is validated to sit strictly below it (offsets < MISS
-and table_len + colspan <= MISS, so a sentinel-carrying probe can
-never index into a real bank and a live displacement can never alias
-the sentinel).
+Dead walkers carry displacement 0 (the DEAD-ZONE scheme): every
+table's real rows are shifted up by its colspan, so a probe with a
+dead displacement (0 + sym < span) lands strictly below the first
+k0-trimmed bank — it can never verify, never indexes a real bank,
+and stays below every grouped-scan boundary, which lets the kernel
+bound its bank scans with a plain unmasked max over raw indices.
+The value-FIELD capacity (31 minus the NARROWEST vshift among the
+kinds used) still bounds stored displacements, priced by the same
+ht_len + colspan <= cap formula in the DP.
 """
 
 from __future__ import annotations
@@ -94,7 +96,7 @@ class StepSpec:
     s_nb: int
     s_k0: int
     s_nibble: bool  # side entries 4-bit (code&7)+1 8/word, else bytes
-    miss: int  # dead sentinel VALUE stored by this step's entries
+    miss: int  # dead displacement (0 under the dead-zone scheme)
     # trained-profile hot-bank spans (0 = untrained): the kernel sizes
     # its FIRST bank group to cover the hot working set, so the common
     # case probes one group + one pred instead of walking geometric
@@ -315,12 +317,12 @@ def build_plan_tables(
             )
             c.update(offsets=offsets, ht_len=ht_len, nib=nib)
 
-    # The plan-wide miss sentinel is all-ones in the narrowest value
-    # field among the kinds USED, so its width depends on whether any
-    # pair step is chosen — and every table (mono included) must fit
-    # under it.  Run the DP under both scenarios and keep the cheaper
-    # feasible plan; large-alphabet dictionaries whose tables overflow
-    # the narrow pair-width sentinel legitimately go all-mono.
+    # The value FIELD is 31 minus the narrowest vshift among the
+    # kinds USED, so its capacity depends on whether any pair step is
+    # chosen — and every table's shifted displacements (offset + span)
+    # must fit it.  Run the DP under both scenarios and keep the
+    # cheaper feasible plan; large-alphabet dictionaries whose tables
+    # overflow the narrow pair-width field legitimately go all-mono.
     INF = float("inf")
     miss_pair_w = (1 << (31 - (2 * cb + 1))) - 1
     miss_mono_w = (1 << (31 - (cb + 1))) - 1
@@ -378,16 +380,25 @@ def build_plan_tables(
             if res and (best is None or res[0] < best[0]):
                 best = res
         if best is None:
-            raise PairUnsupported("tables too large for the miss sentinel")
+            raise PairUnsupported("tables too large for the value field")
         plan_kinds = best[1]
 
-    # ONE dead sentinel for the whole plan: all-ones in the narrowest
-    # value field among the kinds actually chosen.  Every table must
-    # fit strictly below it.
+    # Dead-walker displacement = 0 (the DEAD ZONE scheme): every
+    # table's real rows are shifted up by its colspan, so a dead
+    # walker's probe index (0 + sym < span) lands strictly below the
+    # k0-trimmed first bank — it can never verify, AND it stays below
+    # every grouped-scan boundary, so the kernel's dynamic bank bound
+    # is a plain unmasked max over raw indices (dead walkers excluded
+    # for free; ~2 vops/probe/tile cheaper than live-masking).  The
+    # k0 trim reclaims the zone, so it costs no VMEM.  The value
+    # FIELD capacity still bounds table size: stored displacements
+    # (offset + span) must fit 31 - max_vshift bits — the same
+    # ht_len + colspan <= cap formula the DP already prices.
     max_vshift = max(
         [cb + 1] + [2 * cb + 1 for k, _ in plan_kinds if k == "pair"]
     )
-    miss = (1 << (31 - max_vshift)) - 1
+    field_cap = (1 << (31 - max_vshift)) - 1
+    miss = 0
 
     # ---- assemble chosen steps from the cached candidate layouts ----------
     # For each step: rows = classes at its start depth.
@@ -398,7 +409,7 @@ def build_plan_tables(
 
     def landing_arr(i: int, cls: np.ndarray) -> np.ndarray:
         """Value-field (disp) stored for walkers landing on classes at
-        step i's start depth; the global miss sentinel for dead
+        step i's start depth; 0 (the dead-zone displacement) for dead
         landings (past the last step / no onward row / an EMPTY
         forced step this shard's automaton never reaches)."""
         if i >= len(plan_kinds) or disp_of[i] is None:
@@ -422,32 +433,43 @@ def build_plan_tables(
         _materialize(kind, d)
         if kind == "mono":
             c = mono_cand[d]
-            disp_of[i] = c["offsets"]
+            off_sh = np.where(
+                c["offsets"] != _EMPTY, c["offsets"] + mono_span, _EMPTY
+            )
+            disp_of[i] = off_sh
             built[i] = dict(
-                kind=kind, d=d, vshift=cb + 1, offsets=c["offsets"],
-                ht_len=c["ht_len"], cols=c["cols"],
+                kind=kind, d=d, vshift=cb + 1, offsets=off_sh,
+                ht_len=c["ht_len"] + mono_span, cols=c["cols"],
                 hot=c.get("hot", 0),
             )
         else:
             c = pair_cand[d]
-            disp_of[i] = c["offsets"]
+            off_sh = np.where(
+                c["offsets"] != _EMPTY, c["offsets"] + pair_span, _EMPTY
+            )
+            disp_of[i] = off_sh
             built[i] = dict(
-                kind=kind, d=d, vshift=2 * cb + 1, offsets=c["offsets"],
-                ht_len=c["ht_len"], join=c["join"], nib=c["nib"],
+                kind=kind, d=d, vshift=2 * cb + 1, offsets=off_sh,
+                ht_len=c["ht_len"] + pair_span, join=c["join"],
+                nib=c["nib"],
                 hot=c.get("hot", 0), hot_s=c.get("hot_s", 0),
             )
 
     # ---- fill -------------------------------------------------------------
-    # every table must sit strictly below the sentinel: probes carrying
-    # it must fall past all banks, and no live displacement may alias it
+    # every stored displacement (offset + span) must fit the value
+    # field; dead-zone safety is by construction (real offsets >= span)
     span_of = {"mono": mono_span, "pair": pair_span}
     for b in built:
         if b.get("empty"):
             continue
-        if np.max(b["offsets"], initial=0) >= miss:
-            raise PairUnsupported("displacement reaches the miss sentinel")
-        if b["ht_len"] + span_of[b["kind"]] > miss:
-            raise PairUnsupported("table too large for the miss sentinel")
+        mx_off = int(np.max(
+            b["offsets"], initial=0,
+            where=b["offsets"] != _EMPTY,
+        ))
+        if mx_off > field_cap:
+            raise PairUnsupported(
+                "displacement overflows the value field"
+            )
 
     main_tables, side_tables = [], []
     for i, b in enumerate(built):
@@ -516,8 +538,25 @@ def build_plan_tables(
         tm = [_to_banks_trimmed(t) for t in main_tables]
         ts = [_to_banks_trimmed(t, fill=0) for t in side_tables]
     else:
-        tm = [(_to_banks(t), 0) for t in main_tables]
-        ts = [(_to_banks(t, fill=0), 0) for t in side_tables]
+        # stacked builds need shard-uniform bank offsets, so the
+        # data-driven trim is off — but the dead zone [0, span) is
+        # empty BY CONSTRUCTION (same span for every shard's step i),
+        # so its full banks can be dropped uniformly via k0
+        def _debase(t: np.ndarray, fill: int, zone: int) -> tuple:
+            b = _to_banks(t, fill)
+            k0u = zone // _LANE
+            if b.shape[0] > k0u:
+                return b[k0u:], k0u
+            # all-miss (EMPTY forced step): keep one fill bank at the
+            # SAME k0 as real shards so the stacked spec stays uniform
+            return b[:1], k0u
+
+        tm, ts = [], []
+        for i, b2 in enumerate(built):
+            span = span_of[b2["kind"]]
+            wshift = 3 if b2.get("nib", False) else 2
+            tm.append(_debase(main_tables[i], -1, span))
+            ts.append(_debase(side_tables[i], 0, span >> wshift))
     specs, m_acc, s_acc = [], 0, 0
     for i, b in enumerate(built):
         mb, mk0 = tm[i]
@@ -582,7 +621,7 @@ class StackedPlanTables:
     p0_banks: np.ndarray  # int32 [S, NBP0, 128]
     packed_banks: np.ndarray  # int32 [S, NB, 128]
     side_banks: np.ndarray  # int32 [S, NS, 128]
-    steps: tuple  # uniform StepSpec (k0 = 0 everywhere)
+    steps: tuple  # uniform StepSpec (k0 = the shared dead-zone base)
     p0_miss: int
     max_pat_len: int
     trained: bool
@@ -655,11 +694,19 @@ def build_stacked_plan_tables(
             side[s, s_offs[i] : s_offs[i] + sp.s_nb] = (
                 pt.side_banks[sp.s_off : sp.s_off + sp.s_nb]
             )
+    for pt in pts:
+        for i in range(n_steps):
+            # the dead-zone k0 depends only on (kind, nibble), which
+            # the forced builds share — uniform across shards
+            assert pt.steps[i].k0 == pts[0].steps[i].k0
+            assert pt.steps[i].s_k0 == pts[0].steps[i].s_k0
     specs = tuple(
         StepSpec(
             kind=kinds[i][0], depth0=kinds[i][1] + 1,
-            off=int(m_offs[i]), nb=int(nbs[i]), k0=0,
-            s_off=int(s_offs[i]), s_nb=int(snbs[i]), s_k0=0,
+            off=int(m_offs[i]), nb=int(nbs[i]),
+            k0=pts[0].steps[i].k0,
+            s_off=int(s_offs[i]), s_nb=int(snbs[i]),
+            s_k0=pts[0].steps[i].s_k0,
             # the kinds tuple carries the lead shard's nibble choice,
             # which the forced builds reproduced (it is a kernel
             # static shared by every shard)

@@ -205,28 +205,28 @@ def _make_plan_kernel(
 
         def any_live(disps):
             """Scalar: does any walker still carry a live displacement?
-            Live disps are < the sentinel (strictly, by construction),
-            so one min-tree + scalar compare replaces per-tile
+            Dead walkers carry displacement 0 and live displacements
+            are >= the table's dead-zone span (> 0, by construction),
+            so one max-tree + scalar compare replaces per-tile
             compare/or chains."""
             t = disps[0]
             for d in disps[1:]:
-                t = jnp.minimum(t, d)
-            return jnp.min(t) != p0_miss
+                t = jnp.maximum(t, d)
+            return jnp.max(t) != p0_miss
 
-        def probe_bounded(ref, idxs, live, off: int, nb: int, k0: int,
+        def probe_bounded(ref, idxs, off: int, nb: int, k0: int,
                           hot: int = 0):
             """Banked LUT over ONLY banks [k0, max-live-bank]: with the
             profile-guided layout hot classes sit at low displacements,
             so the dynamic bound collapses the scan to the live working
-            set.  Dead walkers are masked out of the bound and read the
-            -1 init (miss)."""
-            masked = [
-                jnp.where(live[i], idxs[i], -1) for i in range(tpc)
-            ]
-            t = masked[0]
-            for m in masked[1:]:
+            set.  Dead walkers carry displacement 0, so their probe
+            indices fall in the dead zone below k0's first boundary —
+            the bound is a plain unmasked max (no live-masking vops)
+            and dead lanes read the -1 init (miss)."""
+            t = idxs[0]
+            for m in idxs[1:]:
                 t = jnp.maximum(t, m)
-            mx = jnp.max(t)  # scalar: max live probe idx (-1 if none)
+            mx = jnp.max(t)  # scalar: max probe idx (dead stay below k0)
             banks = [idx >> 7 for idx in idxs]
             lanes = [idx & (_LANE - 1) for idx in idxs]
             if gmode == "loop":
@@ -397,12 +397,9 @@ def _make_plan_kernel(
                     ]
                 else:
                     idxs = [disps[i] + curs[i] for i in range(tpc)]
-                live = None
-                if bound_main or bound_side:
-                    live = [disps[i] != sp.miss for i in range(tpc)]
                 if bound_main:
                     gs = probe_bounded(
-                        m_ref, idxs, live, sp.off, sp.nb, sp.k0,
+                        m_ref, idxs, sp.off, sp.nb, sp.k0,
                         hot=sp.hot_nb,
                     )
                 else:
@@ -420,7 +417,7 @@ def _make_plan_kernel(
                     ]
                     if bound_side:
                         ws = probe_bounded(
-                            s_ref, widxs, live, sp.s_off, sp.s_nb,
+                            s_ref, widxs, sp.s_off, sp.s_nb,
                             sp.s_k0, hot=sp.s_hot_nb,
                         )
                     else:

@@ -182,9 +182,9 @@ def test_bounded_scan_modes_parity():
 
 def test_wide_alphabet_sentinel_overflow_goes_mono():
     """A wide-alphabet dictionary whose pair tables would overflow the
-    narrow pair-width miss sentinel must still plan (mono steps for
-    the overflowing depths) rather than raise — the DP runs under both
-    sentinel scenarios."""
+    narrow pair-width value field must still plan (mono steps for the
+    overflowing depths) rather than raise — the DP runs under both
+    field-width scenarios."""
     rng = np.random.default_rng(2)
     alpha = np.arange(32, 112, dtype=np.uint8)  # sigma ~80 -> cb=7
     words = list(dict.fromkeys(
@@ -194,10 +194,16 @@ def test_wide_alphabet_sentinel_overflow_goes_mono():
     cfg = PfacConfig(width=4096, num_shards=1, truncation="none")
     compiled = compile_patterns(pats, cfg)
     pt = build_plan_tables(compiled.shards[0])
-    # every table must sit strictly below the plan's sentinel
-    miss = pt.p0_miss
+    # dead-zone contract: dead displacement is 0 and every stored
+    # displacement (bank extent incl. the zone) fits the value field
+    assert pt.p0_miss == 0
+    max_vshift = max(
+        (2 * 7 + 1) if s.kind == "pair" else (7 + 1) for s in pt.steps
+    )
+    field_cap = (1 << (31 - max_vshift)) - 1
     for s in pt.steps:
-        assert s.nb * 128 < miss
+        assert s.miss == 0
+        assert (s.k0 + s.nb) * 128 <= field_cap + 1
     # correctness spot check vs the oracle on a small corpus
     data = bytes(alpha[rng.integers(0, len(alpha), 4096)])
     from phfpfac_tpu.ops.pallas_plan import PlanShardScanner
