@@ -87,6 +87,27 @@ def main() -> None:
         _ = int(np.asarray(s))
         reps.append((time.perf_counter() - t0) / K)
     dt = float(np.median(reps))
+    if hasattr(scan, "check_overflow") and scan.check_overflow():
+        # the compacted path's survivor cap overflowed: its totals are
+        # truncations, so the timing above is not an honest scan.
+        # Re-time uncompacted (exact by construction).
+        from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+
+        scan = plan_count_scanner(
+            shard, max_steps, train=data[: 1 << 20], compact="off"
+        )
+        dev_data = scan.prepare(padded, n)
+        total0 = int(np.asarray(scan.scan(dev_data, jnp.int32(n),
+                                          jnp.int32(0))))
+        reps = []
+        for _ in range(5):
+            s = jnp.int32(0)
+            t0 = time.perf_counter()
+            for _ in range(K):
+                s = scan.scan(dev_data, jnp.int32(n), s % 2)
+            _ = int(np.asarray(s))
+            reps.append((time.perf_counter() - t0) / K)
+        dt = float(np.median(reps))
     gbs = n / dt / 1e9
 
     print(

@@ -102,6 +102,8 @@ def main() -> None:
         _ = int(np.asarray(s))
         reps.append((time.perf_counter() - t0) / K)
     dt = float(np.median(reps))
+    if hasattr(scan, "check_overflow"):
+        assert not scan.check_overflow(), "survivor cap overflow — retune"
     import json
 
     print(json.dumps({

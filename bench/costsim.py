@@ -62,10 +62,25 @@ def group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
     return ends
 
 
+# XLA glue for the two-phase compacted scan (nonzero + tail gather +
+# scatter-merge): HBM-bound passes over the corpus (cumsum + scatter
+# a few x 4B/pos at ~800 GB/s ~= 0.02-0.05 cyc/pos at 0.94 GHz; pad
+# to 0.1 for XLA slack) plus per-survivor gather/scatter line traffic.
+# Placeholders until calibrated on hardware.
+C_GLUE_PER_POS = 0.033  # ~5 HBM passes x 4B/pos at 800 GB/s, 0.94 GHz
+C_GLUE_PER_SURV = 1.5   # tail-gather + scatter line traffic / survivor
+
+
 def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
              growth: int = 3, floor: int = GROUP_FLOOR, gmode: str = "capped",
-             ggeom: str = "hot", verbose: bool = True):
-    """Returns (pred_gbps, vops_total, per_step_ledger)."""
+             ggeom: str = "hot", verbose: bool = True,
+             compact_at: int = 0, compact_tpc: int = 8):
+    """Returns (pred_gbps, vops_total, per_step_ledger).
+
+    compact_at > 0 models the two-phase compacted scan: phase A runs
+    steps [0, compact_at) over every position, then live walkers are
+    compacted (survivor positions + disps) and phase B runs the
+    remaining steps over dense survivor tiles only."""
     code_of = np.asarray(pt.code_of, np.int32)
     cb = pt.code_bits
     cbm = (1 << cb) - 1
@@ -111,122 +126,145 @@ def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
     ledger.append(("p0", vops, 1.0, 0.0, 0.0))
 
     trained = pt.trained
-    cells = np.arange(n_cells)
 
-    def cell_reduce_max(arr):
-        """Per-cell max of an (n,) array (padded with -1)."""
-        full = np.full(n_cells * cell_pos, -1, np.int32)
-        full[:n] = arr
-        return full.reshape(n_cells, cell_pos).max(axis=1)
+    def run_steps(disp, positions, si0, si1, tpc_r, cond_from_r, tag=""):
+        """Replay steps [si0, si1) over walkers at ``positions`` whose
+        incoming displacements are ``disp``.  Windows gather from the
+        corpus-wide pair-symbol stream at positions + off, so the same
+        loop serves phase A (positions = arange(n)) and the compacted
+        phase B (positions = survivor positions)."""
+        nonlocal vops, matches
+        nw = len(positions)
+        cell_r = tpc_r * TILE
+        nc_r = -(-nw // cell_r)
+        posc = np.clip(positions, 0, len(pair_sym) - 64)
 
-    def cell_reduce_any(mask):
-        full = np.zeros(n_cells * cell_pos, bool)
-        full[:n] = mask
-        return full.reshape(n_cells, cell_pos).any(axis=1)
+        def cell_reduce_max(arr):
+            full = np.full(nc_r * cell_r, -1, np.int32)
+            full[:nw] = arr
+            return full.reshape(nc_r, cell_r).max(axis=1)
 
-    exec_frac_prev = 1.0
-    executed = np.ones(n_cells, bool)
-    for si, sp in enumerate(pt.steps):
-        off_chars = sp.depth0 - 1
-        live = disp != miss
-        if si >= cond_from:
-            executed = cell_reduce_any(live)
-        exec_frac = executed.mean()
-        n_exec = int(executed.sum())
+        def cell_reduce_any(mask):
+            full = np.zeros(nc_r * cell_r, bool)
+            full[:nw] = mask
+            return full.reshape(nc_r, cell_r).any(axis=1)
 
-        cur = pair_sym[off_chars:off_chars + n]
-        if sp.kind == "mono":
-            idx = disp + (cur & cbm)
-            c_idx, c_fin = C_IDX_MONO, C_FIN_MONO
-        else:
-            idx = disp + cur
-            c_idx, c_fin = C_IDX_PAIR, C_FIN_PAIR
+        executed = np.ones(nc_r, bool)
+        for si in range(si0, si1):
+            sp = pt.steps[si]
+            off_chars = sp.depth0 - 1
+            live = disp != miss
+            if si >= cond_from_r:
+                executed = cell_reduce_any(live)
+            exec_frac = executed.mean()
+            n_exec = int(executed.sum())
 
-        step_v = (C_WINDOW + c_idx + c_fin + C_ALIVE + C_STEP_FIX) \
-            * tpc * n_exec
-
-        def probe_cost(nb, hot, k0, pidx):
-            """(vops, mean probed banks, mean loop banks) for one
-            bounded probe, mirroring probe_bounded + gmode."""
-            if not (trained and nb >= GROUP_MIN_NB):
-                return C_BANK * nb * tpc * n_exec, float(nb), 0.0
-            if ggeom == "fine":
-                # fine geometric ladder from the floor; unroll every
-                # group up to the hot span, cold loop past it.  Cells
-                # whose live walkers stay in the first banks stop at
-                # the matching rung instead of paying the hot span.
-                ends, e = [], 0
-                size = max(floor, 2)
-                while e < min(hot + 1, nb):
-                    e = min(e + size, nb)
-                    ends.append(e)
-                    size *= 2
-                tail_lo = ends[-1] if ends[-1] < nb else None
+            cur = pair_sym[posc + off_chars]
+            if sp.kind == "mono":
+                idx = disp + (cur & cbm)
+                c_idx, c_fin = C_IDX_MONO, C_FIN_MONO
             else:
-                first = max(floor, hot + 1)
-                ends = group_ends(nb, first=first, growth=growth)
-                tail_lo = None
-                if gmode == "capped" and len(ends) > UNROLL_GROUPS:
-                    ends, tail_lo = (
-                        ends[:UNROLL_GROUPS], ends[UNROLL_GROUPS - 1])
-            midx = np.where(live, pidx, -1)
-            mx = cell_reduce_max(midx)
-            fired = np.full(n_cells, float(ends[0]))
-            checks = float(len(ends) - 1)
-            loop_banks = np.zeros(n_cells)
-            for lo, hi in zip(ends[:-1], ends[1:]):
-                fired += np.where(mx >= ((k0 + lo) << 7), hi - lo, 0)
-            if tail_lo is not None:
-                checks += 1
-                n_hi = np.clip((mx >> 7) - k0 + 1, tail_lo, nb)
-                loop_banks = np.where(
-                    mx >= ((k0 + tail_lo) << 7), n_hi - tail_lo, 0.0)
-            v = (C_BOUND + C_GCHECK * checks) * tpc * n_exec
-            v += C_BANK * tpc * fired[executed].sum()
-            v += C_BANK_LOOP * tpc * loop_banks[executed].sum()
-            pb = fired[executed].mean() if n_exec else 0.0
-            lb = loop_banks[executed].mean() if n_exec else 0.0
-            return v, pb, lb
+                idx = disp + cur
+                c_idx, c_fin = C_IDX_PAIR, C_FIN_PAIR
 
-        v, probed_banks, loop_banks = probe_cost(
-            sp.nb, sp.hot_nb, sp.k0, idx)
-        step_v += v
+            step_v = (C_WINDOW + c_idx + c_fin + C_ALIVE + C_STEP_FIX) \
+                * tpc_r * n_exec
 
-        g = lut(main_flat, idx, sp.off, sp.nb, sp.k0)
+            def probe_cost(nb, hot, k0, pidx):
+                """(vops, mean probed banks, mean loop banks) for one
+                bounded probe, mirroring probe_bounded + gmode."""
+                if not (trained and nb >= GROUP_MIN_NB):
+                    return C_BANK * nb * tpc_r * n_exec, float(nb), 0.0
+                if ggeom == "fine":
+                    # fine geometric ladder from the floor; unroll every
+                    # group up to the hot span, cold loop past it.  Cells
+                    # whose live walkers stay in the first banks stop at
+                    # the matching rung instead of paying the hot span.
+                    ends, e = [], 0
+                    size = max(floor, 2)
+                    while e < min(hot + 1, nb):
+                        e = min(e + size, nb)
+                        ends.append(e)
+                        size *= 2
+                    tail_lo = ends[-1] if ends[-1] < nb else None
+                else:
+                    first = max(floor, hot + 1)
+                    ends = group_ends(nb, first=first, growth=growth)
+                    tail_lo = None
+                    if gmode == "capped" and len(ends) > UNROLL_GROUPS:
+                        ends, tail_lo = (
+                            ends[:UNROLL_GROUPS], ends[UNROLL_GROUPS - 1])
+                midx = np.where(live, pidx, -1)
+                mx = cell_reduce_max(midx)
+                fired = np.full(nc_r, float(ends[0]))
+                checks = float(len(ends) - 1)
+                loop_banks = np.zeros(nc_r)
+                for lo, hi in zip(ends[:-1], ends[1:]):
+                    fired += np.where(mx >= ((k0 + lo) << 7), hi - lo, 0)
+                if tail_lo is not None:
+                    checks += 1
+                    n_hi = np.clip((mx >> 7) - k0 + 1, tail_lo, nb)
+                    loop_banks = np.where(
+                        mx >= ((k0 + tail_lo) << 7), n_hi - tail_lo, 0.0)
+                v = (C_BOUND + C_GCHECK * checks) * tpc_r * n_exec
+                v += C_BANK * tpc_r * fired[executed].sum()
+                v += C_BANK_LOOP * tpc_r * loop_banks[executed].sum()
+                pb = fired[executed].mean() if n_exec else 0.0
+                lb = loop_banks[executed].mean() if n_exec else 0.0
+                return v, pb, lb
 
-        # side probe (pair steps): cost only, side never chains
-        if sp.kind == "pair":
-            wshift = 3 if sp.s_nibble else 2
-            widx_raw = disp + (cur & cbm)
-            widx = widx_raw >> wshift
-            sv, _, _ = probe_cost(sp.s_nb, sp.s_hot_nb, sp.s_k0, widx)
-            step_v += sv + 2.0 * tpc * n_exec  # widx shift+add
+            v, probed_banks, loop_banks = probe_cost(
+                sp.nb, sp.hot_nb, sp.k0, idx)
+            step_v += v
 
-        # chain + match counting (parity check vs the TPU run)
-        if sp.kind == "mono":
-            hit = live & ((g & cbm) == (cur & cbm))
-            matches += int((hit & ((g & (1 << cb)) != 0)).sum())
-            disp = np.where(hit, g >> (cb + 1), miss)
-        else:
-            w = lut(side_flat, widx, sp.s_off, sp.s_nb, sp.s_k0)
-            a1 = cur & cbm
-            if sp.s_nibble:
-                nib = (w >> ((widx_raw & 7) << 2)) & 15
-                fin_mid = live & (nib == (a1 & 7) + 1)
+            g = lut(main_flat, idx, sp.off, sp.nb, sp.k0)
+
+            # side probe (pair steps): cost only, side never chains
+            if sp.kind == "pair":
+                wshift = 3 if sp.s_nibble else 2
+                widx_raw = disp + (cur & cbm)
+                widx = widx_raw >> wshift
+                sv, _, _ = probe_cost(sp.s_nb, sp.s_hot_nb, sp.s_k0, widx)
+                step_v += sv + 2.0 * tpc_r * n_exec  # widx shift+add
+
+            # chain + match counting (parity check vs the TPU run)
+            if sp.kind == "mono":
+                hit = live & ((g & cbm) == (cur & cbm))
+                matches += int((hit & ((g & (1 << cb)) != 0)).sum())
+                disp = np.where(hit, g >> (cb + 1), miss)
             else:
-                byte = (w >> ((widx_raw & 3) << 3)) & 255
-                fin_mid = live & (byte == a1 + 1)
-            hit = live & ((g & pair_mask) == cur)
-            matches += int(fin_mid.sum())
-            matches += int((hit & ((g & (1 << (2 * cb))) != 0)).sum())
-            disp = np.where(hit, g >> (2 * cb + 1), miss)
+                w = lut(side_flat, widx, sp.s_off, sp.s_nb, sp.s_k0)
+                a1 = cur & cbm
+                if sp.s_nibble:
+                    nib = (w >> ((widx_raw & 7) << 2)) & 15
+                    fin_mid = live & (nib == (a1 & 7) + 1)
+                else:
+                    byte = (w >> ((widx_raw & 3) << 3)) & 255
+                    fin_mid = live & (byte == a1 + 1)
+                hit = live & ((g & pair_mask) == cur)
+                matches += int(fin_mid.sum())
+                matches += int((hit & ((g & (1 << (2 * cb))) != 0)).sum())
+                disp = np.where(hit, g >> (2 * cb + 1), miss)
 
-        vops += step_v
-        ledger.append((f"s{si}:{sp.kind}@d{sp.depth0}", step_v,
-                       exec_frac, probed_banks, loop_banks))
-        exec_frac_prev = exec_frac
+            vops += step_v
+            ledger.append((f"{tag}s{si}:{sp.kind}@d{sp.depth0}", step_v,
+                           exec_frac, probed_banks, loop_banks))
+        vops += C_CELL_FIX * nc_r
+        return disp
 
-    vops += C_CELL_FIX * n_cells
+    n_steps = len(pt.steps)
+    cut = min(compact_at, n_steps) if compact_at > 0 else n_steps
+    disp = run_steps(disp, np.arange(n), 0, cut, tpc, cond_from)
+    surv = 0
+    if cut < n_steps:
+        # XLA glue: nonzero + tail gather + scatter-merge
+        alive_idx = np.nonzero(disp != miss)[0]
+        surv = len(alive_idx)
+        glue_v = C_GLUE_PER_POS * n + C_GLUE_PER_SURV * surv
+        vops += glue_v
+        ledger.append((f"glue(surv={surv})", glue_v, surv / n, 0.0, 0.0))
+        run_steps(disp[alive_idx], alive_idx, cut, n_steps,
+                  compact_tpc, 0, tag="B:")
     cycles = vops
     t = cycles / VOP_RATE
     gbps = n / t / 1e9
@@ -293,6 +331,11 @@ def main():
                     choices=["capped", "geo"])
     ap.add_argument("--ggeom", default="hot", choices=["hot", "fine"])
     ap.add_argument("--untrained", action="store_true")
+    ap.add_argument("--compact-at", type=int, default=0,
+                    help="model the two-phase compacted scan with the "
+                         "cut before step N (0 = off)")
+    ap.add_argument("--compact-sweep", action="store_true",
+                    help="sweep the compaction cut over every step")
     ap.add_argument("--plan", default=None,
                     help="forced step kinds from depth 1, e.g. 'mmmpppp' "
                          "(m = mono/1 depth, p = pair/2 depths); padded "
@@ -323,9 +366,23 @@ def main():
     print(f"[costsim] dict={args.dict} mib={args.mib} tpc={args.tpc} "
           f"cf={args.cond_from} growth={args.growth} floor={args.floor} "
           f"plan={args.plan or 'auto'} kinds={''.join(k[0] for k in pt.kinds)}")
+    if args.compact_sweep:
+        base, _, _ = simulate(
+            pt, data, tpc=args.tpc, cond_from=args.cond_from,
+            growth=args.growth, floor=args.floor, gmode=args.gmode,
+            ggeom=args.ggeom, verbose=False)
+        print(f"  cut=off  {base:.3f} GB/s")
+        for cut in range(1, len(pt.steps)):
+            g, _, led = simulate(
+                pt, data, tpc=args.tpc, cond_from=args.cond_from,
+                growth=args.growth, floor=args.floor, gmode=args.gmode,
+                ggeom=args.ggeom, verbose=False, compact_at=cut)
+            surv = next(e for n_, *e in led if n_.startswith("glue"))[1]
+            print(f"  cut={cut:2d}  {g:.3f} GB/s  surv={surv:.5f}")
+        return
     simulate(pt, data, tpc=args.tpc, cond_from=args.cond_from,
              growth=args.growth, floor=args.floor, gmode=args.gmode,
-             ggeom=args.ggeom)
+             ggeom=args.ggeom, compact_at=args.compact_at)
 
 
 if __name__ == "__main__":

@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--tpc", type=int, default=32)
     ap.add_argument("--cond-from", type=int, default=4)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--compact", default="auto",
+                    help='"auto", "off", a cut step, or "cut,cap"')
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -70,9 +72,15 @@ def main() -> None:
     padded = pad_input(data, 1024, max_steps)
 
     t0 = time.perf_counter()
+    compact = args.compact
+    if "," in str(compact):
+        compact = tuple(int(x) for x in compact.split(","))
+    elif str(compact).isdigit():
+        compact = int(compact)
     scan = plan_count_scanner(
         shard, max_steps, tpc=args.tpc, cond_from=args.cond_from,
         train=None if args.untrained else data[: 1 << 20],
+        compact=compact,
     )
     t_build = time.perf_counter() - t0
     dev = scan.prepare(padded, n)
@@ -92,6 +100,7 @@ def main() -> None:
         _ = int(np.asarray(s))
         reps.append((time.perf_counter() - t0) / K)
     dt = float(np.median(reps))
+    assert not scan.check_overflow(), "survivor cap overflow — retune"
     print(
         f"[kexp] dict={args.dict} mib={args.mib} trained={not args.untrained} "
         f"tpc={args.tpc} cf={args.cond_from} | {n/dt/1e9:.3f} GB/s "

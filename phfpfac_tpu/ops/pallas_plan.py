@@ -99,6 +99,269 @@ from phfpfac_tpu.compile.depth import (  # noqa: E402
 _UNROLL_GROUPS = 2
 
 
+def _run_steps(
+    *, steps, carry, window, d_s, m_ref, s_ref,
+    tpc: int, cb: int, emit_bitmap: bool, grouped: bool, gmode: str,
+    cond_from: int, p0_miss: int,
+):
+    """Trace the plan's step chain over a carried (disps, outs, alive)
+    tuple.  Shared by the full kernel (windows = rolled corpus tiles)
+    and the compacted phase-B kernel (windows = gathered survivor
+    planes); ``window(i, off)`` and the optional per-walker
+    chars-remaining list ``d_s`` are the only differences."""
+    from jax.experimental import pallas as pl
+
+    cbm = (1 << cb) - 1
+    pair_mask = (1 << (2 * cb)) - 1
+    any_conds = len(steps) > cond_from
+    seg_on = d_s is not None
+
+    def any_live(disps):
+        """Scalar: does any walker still carry a live displacement?
+        Dead walkers carry displacement 0 and live displacements
+        are >= the table's dead-zone span (> 0, by construction),
+        so one max-tree + scalar compare replaces per-tile
+        compare/or chains."""
+        t = disps[0]
+        for d in disps[1:]:
+            t = jnp.maximum(t, d)
+        return jnp.max(t) != p0_miss
+
+    def probe_bounded(ref, idxs, off: int, nb: int, k0: int,
+                      hot: int = 0):
+        """Banked LUT over ONLY banks [k0, max-live-bank]: with the
+        profile-guided layout hot classes sit at low displacements,
+        so the dynamic bound collapses the scan to the live working
+        set.  Dead walkers carry displacement 0, so their probe
+        indices fall in the dead zone below k0's first boundary —
+        the bound is a plain unmasked max (no live-masking vops)
+        and dead lanes read the -1 init (miss)."""
+        t = idxs[0]
+        for m in idxs[1:]:
+            t = jnp.maximum(t, m)
+        mx = jnp.max(t)  # scalar: max probe idx (dead stay below k0)
+        banks = [idx >> 7 for idx in idxs]
+        lanes = [idx & (_LANE - 1) for idx in idxs]
+        if gmode == "loop":
+            n = jnp.clip((mx >> 7) - k0 + 1, 0, nb)
+
+            def body(k, accs):
+                row = jnp.broadcast_to(
+                    ref[pl.ds(off + k, 1), :], (_SUB, _LANE)
+                )
+                kk = k + k0
+                return tuple(
+                    jnp.where(
+                        banks[i] == kk,
+                        jnp.take_along_axis(row, lanes[i], axis=1),
+                        accs[i],
+                    )
+                    for i in range(tpc)
+                )
+
+            init = tuple(
+                jnp.full((_SUB, _LANE), -1, jnp.int32)
+                for _ in range(tpc)
+            )
+            return list(jax.lax.fori_loop(0, n, body, init))
+        # "geo"/"capped": unrolled geometric groups behind scalar
+        # preds; first group covers the trained hot span, then x3.
+        # "capped" additionally truncates the UNROLLED code after
+        # a couple of groups and serves the cold tail from ONE
+        # dynamic-bank fori_loop: unrolled probe code is O(full
+        # table) x tpc — at Snort scale (~2000 banks) that is
+        # ~200k vector instructions and the kernel goes
+        # instruction-fetch-bound (measured 6x below the vop
+        # model) even though the cold groups are almost never
+        # probed.  The loop body is O(1) code, fires only when a
+        # live walker's probe bank lies past the unrolled span,
+        # and scans only up to the max live bank.
+        ends = _group_ends(nb, first=max(_GROUP_FLOOR, hot + 1), growth=3)
+        if gmode == "capped" and len(ends) > _UNROLL_GROUPS:
+            ends, tail_lo = ends[:_UNROLL_GROUPS], ends[_UNROLL_GROUPS - 1]
+        else:
+            tail_lo = None
+        accs = tuple(
+            _lut_range(
+                ref, idxs[i],
+                jnp.full(idxs[i].shape, -1, jnp.int32),
+                0, ends[0], off, k0,
+            )
+            for i in range(tpc)
+        )
+        for lo, hi in zip(ends[:-1], ends[1:]):
+            def probe(accs, lo=lo, hi=hi):
+                return tuple(
+                    _lut_range(ref, idxs[i], accs[i], lo, hi, off, k0)
+                    for i in range(tpc)
+                )
+
+            accs = jax.lax.cond(
+                mx >= ((k0 + lo) << 7), probe, lambda a: a, accs
+            )
+        if tail_lo is not None:
+            def cold(accs, lo=tail_lo):
+                n_hi = jnp.clip((mx >> 7) - k0 + 1, lo, nb)
+
+                def body(k, accs):
+                    row = jnp.broadcast_to(
+                        ref[pl.ds(off + k, 1), :], (_SUB, _LANE)
+                    )
+                    kk = k + k0
+                    return tuple(
+                        jnp.where(
+                            banks[i] == kk,
+                            jnp.take_along_axis(row, lanes[i], axis=1),
+                            accs[i],
+                        )
+                        for i in range(tpc)
+                    )
+
+                return jax.lax.fori_loop(lo, n_hi, body, accs)
+
+            accs = jax.lax.cond(
+                mx >= ((k0 + tail_lo) << 7), cold, lambda a: a, accs
+            )
+        return list(accs)
+
+    def finish(sp, cur, disp, out, g, w, ok2=None):
+        """Verify probe g (side word w for pair steps), update the
+        per-tile output accumulator, chain disp.  No ``g >= 0``
+        guard: compile guarantees every real symbol is strictly
+        below the sym-field mask (collect_alphabet), so the -1 miss
+        can never verify."""
+        bit0 = sp.depth0 - 1
+        if sp.kind == "mono":
+            # one masked compare against sym and sym|finbit each:
+            # saves an op vs extracting the fin bit separately
+            sym = cur & cbm
+            gs = g & (cbm | (1 << cb))
+            fin = gs == (sym | (1 << cb))
+            hit = (gs == sym) | fin
+            if emit_bitmap:
+                out = out | jnp.where(fin, jnp.int32(1) << bit0, 0)
+            else:
+                out = out + fin.astype(jnp.int32)
+            disp = jnp.where(
+                hit, jax.lax.shift_right_logical(g, cb + 1), sp.miss
+            )
+        else:
+            # nibble side entries store (code & 7) + 1 — sound via
+            # the layout's mod-8 anti-aliasing
+            a1 = cur & cbm
+            sidx = disp + a1
+            if sp.s_nibble:
+                nib = (
+                    jax.lax.shift_right_logical(w, (sidx & 7) << 2)
+                ) & 15
+                fin_mid = nib == (a1 & 7) + 1
+            else:
+                byte = (
+                    jax.lax.shift_right_logical(w, (sidx & 3) << 3)
+                ) & 255
+                fin_mid = byte == a1 + 1
+            gs = g & (pair_mask | (1 << (2 * cb)))
+            fin_end = gs == (cur | (1 << (2 * cb)))
+            hit = (gs == cur) | fin_end
+            if ok2 is not None:
+                # segment cut between the pair's two chars: the mid
+                # completion stands, the end match and chain do not
+                hit = hit & ok2
+                fin_end = fin_end & ok2
+            if emit_bitmap:
+                out = (
+                    out
+                    | jnp.where(fin_mid, jnp.int32(1) << bit0, 0)
+                    | jnp.where(fin_end, jnp.int32(1) << (bit0 + 1), 0)
+                )
+            else:
+                out = (
+                    out + fin_mid.astype(jnp.int32)
+                    + fin_end.astype(jnp.int32)
+                )
+            disp = jnp.where(
+                hit, jax.lax.shift_right_logical(g, 2 * cb + 1), sp.miss
+            )
+        return disp, out
+
+    def make_step(si: int, sp):
+        off_chars = sp.depth0 - 1
+        bounding = grouped and gmode != "none"
+        bound_main = bounding and sp.nb >= _GROUP_MIN_NB
+        bound_side = (
+            sp.kind == "pair" and bounding and sp.s_nb >= _GROUP_MIN_NB
+        )
+        # the NEXT cond's pred is this step's post-update liveness,
+        # carried as a scalar so skipped steps pay nothing
+        need_alive = any_conds and si >= cond_from - 1
+        wshift = 3 if sp.s_nibble else 2
+
+        def step(carry):
+            disps, outs = list(carry[0]), list(carry[1])
+            if seg_on:
+                disps = [
+                    jnp.where(d_s[i] > off_chars, disps[i], sp.miss)
+                    for i in range(tpc)
+                ]
+            curs = [window(i, off_chars) for i in range(tpc)]
+            if sp.kind == "mono":
+                idxs = [
+                    disps[i] + (curs[i] & cbm) for i in range(tpc)
+                ]
+            else:
+                idxs = [disps[i] + curs[i] for i in range(tpc)]
+            if bound_main:
+                gs = probe_bounded(
+                    m_ref, idxs, sp.off, sp.nb, sp.k0,
+                    hot=sp.hot_nb,
+                )
+            else:
+                gs = [
+                    _lut(m_ref, idxs[i], sp.nb, sp.off, sp.k0)
+                    for i in range(tpc)
+                ]
+            ws = [None] * tpc
+            if sp.kind == "pair":
+                widxs = [
+                    jax.lax.shift_right_logical(
+                        disps[i] + (curs[i] & cbm), wshift
+                    )
+                    for i in range(tpc)
+                ]
+                if bound_side:
+                    ws = probe_bounded(
+                        s_ref, widxs, sp.s_off, sp.s_nb,
+                        sp.s_k0, hot=sp.s_hot_nb,
+                    )
+                else:
+                    ws = [
+                        _lut(s_ref, widxs[i], sp.s_nb, sp.s_off,
+                             sp.s_k0)
+                        for i in range(tpc)
+                    ]
+            for i in range(tpc):
+                ok2 = None
+                if seg_on and sp.kind == "pair":
+                    ok2 = d_s[i] > off_chars + 1
+                disps[i], outs[i] = finish(
+                    sp, curs[i], disps[i], outs[i], gs[i], ws[i], ok2
+                )
+            alive = any_live(disps) if need_alive else carry[2]
+            return (tuple(disps), tuple(outs), alive)
+
+        return step
+
+    if any_conds and cond_from == 0:
+        carry = (carry[0], carry[1], any_live(list(carry[0])))
+    for si, sp in enumerate(steps):
+        body = make_step(si, sp)
+        if si < cond_from:
+            carry = body(carry)
+        else:
+            carry = jax.lax.cond(carry[2], body, lambda c: c, carry)
+    return carry
+
+
 def _make_plan_kernel(
     *,
     steps: tuple,  # tuple[StepSpec]
@@ -106,14 +369,13 @@ def _make_plan_kernel(
     emit_bitmap: bool, tiles_per_cell: int, cond_from: int,
     grouped: bool = False, gmode: str = "geo",
     seg_bytes: int = 0, halo_bytes: int = 0,
+    emit_surv: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     tpc = tiles_per_cell
     cbm = (1 << cb) - 1
-    pair_mask = (1 << (2 * cb)) - 1
-    any_conds = len(steps) > cond_from
     # segment truncation (reference master_kernel.cu:141-144): walks may
     # read only chars below segment_end + halo.  Chars past input_size
     # die via the staging pad, so the in-kernel limit needs no
@@ -203,268 +465,40 @@ def _make_plan_kernel(
                     )
                 )
 
-        def any_live(disps):
-            """Scalar: does any walker still carry a live displacement?
-            Dead walkers carry displacement 0 and live displacements
-            are >= the table's dead-zone span (> 0, by construction),
-            so one max-tree + scalar compare replaces per-tile
-            compare/or chains."""
-            t = disps[0]
-            for d in disps[1:]:
-                t = jnp.maximum(t, d)
-            return jnp.max(t) != p0_miss
-
-        def probe_bounded(ref, idxs, off: int, nb: int, k0: int,
-                          hot: int = 0):
-            """Banked LUT over ONLY banks [k0, max-live-bank]: with the
-            profile-guided layout hot classes sit at low displacements,
-            so the dynamic bound collapses the scan to the live working
-            set.  Dead walkers carry displacement 0, so their probe
-            indices fall in the dead zone below k0's first boundary —
-            the bound is a plain unmasked max (no live-masking vops)
-            and dead lanes read the -1 init (miss)."""
-            t = idxs[0]
-            for m in idxs[1:]:
-                t = jnp.maximum(t, m)
-            mx = jnp.max(t)  # scalar: max probe idx (dead stay below k0)
-            banks = [idx >> 7 for idx in idxs]
-            lanes = [idx & (_LANE - 1) for idx in idxs]
-            if gmode == "loop":
-                n = jnp.clip((mx >> 7) - k0 + 1, 0, nb)
-
-                def body(k, accs):
-                    row = jnp.broadcast_to(
-                        ref[pl.ds(off + k, 1), :], (_SUB, _LANE)
-                    )
-                    kk = k + k0
-                    return tuple(
-                        jnp.where(
-                            banks[i] == kk,
-                            jnp.take_along_axis(row, lanes[i], axis=1),
-                            accs[i],
-                        )
-                        for i in range(tpc)
-                    )
-
-                init = tuple(
-                    jnp.full((_SUB, _LANE), -1, jnp.int32)
-                    for _ in range(tpc)
-                )
-                return list(jax.lax.fori_loop(0, n, body, init))
-            # "geo"/"capped": unrolled geometric groups behind scalar
-            # preds; first group covers the trained hot span, then x3.
-            # "capped" additionally truncates the UNROLLED code after
-            # a couple of groups and serves the cold tail from ONE
-            # dynamic-bank fori_loop: unrolled probe code is O(full
-            # table) x tpc — at Snort scale (~2000 banks) that is
-            # ~200k vector instructions and the kernel goes
-            # instruction-fetch-bound (measured 6x below the vop
-            # model) even though the cold groups are almost never
-            # probed.  The loop body is O(1) code, fires only when a
-            # live walker's probe bank lies past the unrolled span,
-            # and scans only up to the max live bank.
-            ends = _group_ends(nb, first=max(_GROUP_FLOOR, hot + 1), growth=3)
-            if gmode == "capped" and len(ends) > _UNROLL_GROUPS:
-                ends, tail_lo = ends[:_UNROLL_GROUPS], ends[_UNROLL_GROUPS - 1]
-            else:
-                tail_lo = None
-            accs = tuple(
-                _lut_range(
-                    ref, idxs[i],
-                    jnp.full(idxs[i].shape, -1, jnp.int32),
-                    0, ends[0], off, k0,
-                )
-                for i in range(tpc)
-            )
-            for lo, hi in zip(ends[:-1], ends[1:]):
-                def probe(accs, lo=lo, hi=hi):
-                    return tuple(
-                        _lut_range(ref, idxs[i], accs[i], lo, hi, off, k0)
-                        for i in range(tpc)
-                    )
-
-                accs = jax.lax.cond(
-                    mx >= ((k0 + lo) << 7), probe, lambda a: a, accs
-                )
-            if tail_lo is not None:
-                def cold(accs, lo=tail_lo):
-                    n_hi = jnp.clip((mx >> 7) - k0 + 1, lo, nb)
-
-                    def body(k, accs):
-                        row = jnp.broadcast_to(
-                            ref[pl.ds(off + k, 1), :], (_SUB, _LANE)
-                        )
-                        kk = k + k0
-                        return tuple(
-                            jnp.where(
-                                banks[i] == kk,
-                                jnp.take_along_axis(row, lanes[i], axis=1),
-                                accs[i],
-                            )
-                            for i in range(tpc)
-                        )
-
-                    return jax.lax.fori_loop(lo, n_hi, body, accs)
-
-                accs = jax.lax.cond(
-                    mx >= ((k0 + tail_lo) << 7), cold, lambda a: a, accs
-                )
-            return list(accs)
-
-        def finish(sp, cur, disp, out, g, w, ok2=None):
-            """Verify probe g (side word w for pair steps), update the
-            per-tile output accumulator, chain disp.  No ``g >= 0``
-            guard: compile guarantees every real symbol is strictly
-            below the sym-field mask (collect_alphabet), so the -1 miss
-            can never verify."""
-            bit0 = sp.depth0 - 1
-            if sp.kind == "mono":
-                # one masked compare against sym and sym|finbit each:
-                # saves an op vs extracting the fin bit separately
-                sym = cur & cbm
-                gs = g & (cbm | (1 << cb))
-                fin = gs == (sym | (1 << cb))
-                hit = (gs == sym) | fin
-                if emit_bitmap:
-                    out = out | jnp.where(fin, jnp.int32(1) << bit0, 0)
-                else:
-                    out = out + fin.astype(jnp.int32)
-                disp = jnp.where(
-                    hit, jax.lax.shift_right_logical(g, cb + 1), sp.miss
-                )
-            else:
-                # nibble side entries store (code & 7) + 1 — sound via
-                # the layout's mod-8 anti-aliasing
-                a1 = cur & cbm
-                sidx = disp + a1
-                if sp.s_nibble:
-                    nib = (
-                        jax.lax.shift_right_logical(w, (sidx & 7) << 2)
-                    ) & 15
-                    fin_mid = nib == (a1 & 7) + 1
-                else:
-                    byte = (
-                        jax.lax.shift_right_logical(w, (sidx & 3) << 3)
-                    ) & 255
-                    fin_mid = byte == a1 + 1
-                gs = g & (pair_mask | (1 << (2 * cb)))
-                fin_end = gs == (cur | (1 << (2 * cb)))
-                hit = (gs == cur) | fin_end
-                if ok2 is not None:
-                    # segment cut between the pair's two chars: the mid
-                    # completion stands, the end match and chain do not
-                    hit = hit & ok2
-                    fin_end = fin_end & ok2
-                if emit_bitmap:
-                    out = (
-                        out
-                        | jnp.where(fin_mid, jnp.int32(1) << bit0, 0)
-                        | jnp.where(fin_end, jnp.int32(1) << (bit0 + 1), 0)
-                    )
-                else:
-                    out = (
-                        out + fin_mid.astype(jnp.int32)
-                        + fin_end.astype(jnp.int32)
-                    )
-                disp = jnp.where(
-                    hit, jax.lax.shift_right_logical(g, 2 * cb + 1), sp.miss
-                )
-            return disp, out
-
-        def make_step(si: int, sp):
-            off_chars = sp.depth0 - 1
-            bounding = grouped and gmode != "none"
-            bound_main = bounding and sp.nb >= _GROUP_MIN_NB
-            bound_side = (
-                sp.kind == "pair" and bounding and sp.s_nb >= _GROUP_MIN_NB
-            )
-            # the NEXT cond's pred is this step's post-update liveness,
-            # carried as a scalar so skipped steps pay nothing
-            need_alive = any_conds and si >= cond_from - 1
-            wshift = 3 if sp.s_nibble else 2
-
-            def step(carry):
-                disps, outs = list(carry[0]), list(carry[1])
-                if seg_on:
-                    disps = [
-                        jnp.where(d_s[i] > off_chars, disps[i], sp.miss)
-                        for i in range(tpc)
-                    ]
-                curs = [window(i, off_chars) for i in range(tpc)]
-                if sp.kind == "mono":
-                    idxs = [
-                        disps[i] + (curs[i] & cbm) for i in range(tpc)
-                    ]
-                else:
-                    idxs = [disps[i] + curs[i] for i in range(tpc)]
-                if bound_main:
-                    gs = probe_bounded(
-                        m_ref, idxs, sp.off, sp.nb, sp.k0,
-                        hot=sp.hot_nb,
-                    )
-                else:
-                    gs = [
-                        _lut(m_ref, idxs[i], sp.nb, sp.off, sp.k0)
-                        for i in range(tpc)
-                    ]
-                ws = [None] * tpc
-                if sp.kind == "pair":
-                    widxs = [
-                        jax.lax.shift_right_logical(
-                            disps[i] + (curs[i] & cbm), wshift
-                        )
-                        for i in range(tpc)
-                    ]
-                    if bound_side:
-                        ws = probe_bounded(
-                            s_ref, widxs, sp.s_off, sp.s_nb,
-                            sp.s_k0, hot=sp.s_hot_nb,
-                        )
-                    else:
-                        ws = [
-                            _lut(s_ref, widxs[i], sp.s_nb, sp.s_off,
-                                 sp.s_k0)
-                            for i in range(tpc)
-                        ]
-                for i in range(tpc):
-                    ok2 = None
-                    if seg_on and sp.kind == "pair":
-                        ok2 = d_s[i] > off_chars + 1
-                    disps[i], outs[i] = finish(
-                        sp, curs[i], disps[i], outs[i], gs[i], ws[i], ok2
-                    )
-                alive = any_live(disps) if need_alive else carry[2]
-                return (tuple(disps), tuple(outs), alive)
-
-            return step
-
-        alive0 = jnp.bool_(True)
-        if any_conds and cond_from == 0:
-            alive0 = any_live(disps)
-        carry = (tuple(disps), tuple(outs), alive0)
-        for si, sp in enumerate(steps):
-            body = make_step(si, sp)
-            if si < cond_from:
-                carry = body(carry)
-            else:
-                carry = jax.lax.cond(carry[2], body, lambda c: c, carry)
+        carry = _run_steps(
+            steps=steps, carry=(tuple(disps), tuple(outs), jnp.bool_(True)),
+            window=window, d_s=d_s, m_ref=m_ref, s_ref=s_ref,
+            tpc=tpc, cb=cb, emit_bitmap=emit_bitmap, grouped=grouped,
+            gmode=gmode, cond_from=cond_from, p0_miss=p0_miss,
+        )
         outs = carry[1]
 
         if emit_bitmap:
-            cnt_ref, bits_ref = out_refs
+            if emit_surv:
+                cnt_ref, bits_ref, surv_ref = out_refs
+            else:
+                cnt_ref, bits_ref = out_refs
             for i in range(tpc):
                 cnt_ref[pl.ds(i * _SUB, _SUB), :] = (
                     jax.lax.population_count(outs[i])
                 )
                 bits_ref[pl.ds(i * _SUB, _SUB), :] = outs[i]
         else:
-            (partial_ref,) = out_refs
+            if emit_surv:
+                partial_ref, surv_ref = out_refs
+            else:
+                (partial_ref,) = out_refs
             shift = shift_ref[0]
             acc = jnp.zeros((_SUB, _LANE), jnp.int32)
             for i in range(tpc):
                 pos = (cell * tpc + i) * TILE + sub * _LANE + lane
                 acc = acc + jnp.where(pos >= shift, outs[i], 0)
             partial_ref[:, :] = acc
+        if emit_surv:
+            # displacements entering the first phase-B step (0 = dead):
+            # the compacted continuation picks these up after the glue
+            for i in range(tpc):
+                surv_ref[pl.ds(i * _SUB, _SUB), :] = carry[0][i]
 
     return kernel
 
@@ -488,6 +522,62 @@ def resolve_cond_from(pt: PlanTables, cond_from) -> int:
         if f < 1e-4:
             return max(i, 1)
     return 4
+
+
+# cost-model sweeps (bench/costsim.py --compact-sweep) put the optimum
+# cut where ~4-7% of walkers survive: earlier, the glue gathers too
+# many; later, phase A keeps paying dominant deep steps.  The pow2 cap
+# bucket adds up to 2x on top of the margin; overflow falls back.
+_COMPACT_MARGIN = 2.5  # cap = margin x trained survivor estimate
+_COMPACT_MAX_FRAC = 0.05  # cut where <= ~5% of walkers survive
+
+
+def resolve_compact(pt: PlanTables, n_pos: int, compact="auto",
+                    tpc_b: int = 8):
+    """Choose the two-phase cut: -> (cut_step, cap) or None.
+
+    "auto" cuts at the first step whose trained live-walker fraction
+    drops to ~4% — early enough that most deep-step vops move to the
+    compacted phase, late enough that the survivor cap (and with it
+    the glue's gather traffic) stays a few % of the corpus.  The cap
+    carries a 4x margin over the trained estimate; the TRUE count is
+    returned by the scan so callers rescan uncompacted on overflow
+    (train/scan corpus mismatch), never losing matches."""
+    if compact in (None, 0, "off", False):
+        return None
+    block = tpc_b * TILE
+    if isinstance(compact, tuple):  # explicit (cut, cap) — tests/tuning
+        cut, cap = compact
+        assert cap % block == 0
+        return (cut, cap) if 1 <= cut < len(pt.steps) else None
+    if isinstance(compact, int) and not isinstance(compact, bool):
+        cut = compact
+        frac = (
+            pt.live_frac[cut]
+            if pt.trained and cut < len(pt.live_frac) else _COMPACT_MAX_FRAC
+        )
+    else:
+        if not pt.trained or not pt.live_frac:
+            return None
+        cut = None
+        for i, f in enumerate(pt.live_frac):
+            if i >= 1 and f <= _COMPACT_MAX_FRAC:
+                cut = i
+                break
+        if cut is None:
+            return None
+        frac = pt.live_frac[cut]
+    if not (1 <= cut < len(pt.steps)):
+        return None
+    cap = max(_COMPACT_MARGIN * frac * n_pos, 2 * block)
+    # bucket to powers of two (bounds recompiles across input sizes)
+    b = block
+    while b < cap:
+        b <<= 1
+    cap = b
+    if cap * 2 >= n_pos:
+        return None  # survivors too dense for compaction to pay
+    return cut, cap
 
 
 def _default_gmode() -> str:
@@ -554,6 +644,212 @@ def _plan_scan_bitmap(
     return cnt.reshape(-1), bits.reshape(-1)
 
 
+def _make_planb_kernel(
+    *, steps: tuple, plane: dict, n_offs: int, cb: int, p0_miss: int,
+    tpc: int, cond_from: int, grouped: bool, gmode: str, seg: bool,
+):
+    """Compacted phase-B kernel: finish the deep steps over survivor
+    tiles.  Each grid cell covers ``tpc`` tiles of 1024 survivors;
+    inputs are the glue's gathered window planes (one (8,128) block
+    per tile per step offset), the survivors' carried displacements,
+    and (segment mode) their chars-remaining-before-cut."""
+    from jax.experimental import pallas as pl
+
+    def kernel(g_ref, d_ref, lim_ref, m_ref, s_ref, bits_ref):
+        def window(i: int, off: int):
+            # survivor windows were gathered by position in the glue;
+            # re-read per step body (same hoisting discipline as the
+            # full kernel's rolled windows)
+            return g_ref[pl.ds((i * n_offs + plane[off]) * _SUB, _SUB), :]
+
+        d_s = None
+        if seg:
+            d_s = [
+                lim_ref[pl.ds(i * _SUB, _SUB), :] for i in range(tpc)
+            ]
+        disps = [d_ref[pl.ds(i * _SUB, _SUB), :] for i in range(tpc)]
+        outs = [jnp.zeros((_SUB, _LANE), jnp.int32) for _ in range(tpc)]
+        carry = _run_steps(
+            steps=steps, carry=(tuple(disps), tuple(outs), jnp.bool_(True)),
+            window=window, d_s=d_s, m_ref=m_ref, s_ref=s_ref,
+            tpc=tpc, cb=cb, emit_bitmap=True, grouped=grouped,
+            gmode=gmode, cond_from=cond_from, p0_miss=p0_miss,
+        )
+        for i in range(tpc):
+            bits_ref[pl.ds(i * _SUB, _SUB), :] = carry[1][i]
+
+    return kernel
+
+
+def _phase_b(
+    data2d, surv, packed_banks, side_banks,
+    *, steps_b, cb, p0_miss, interpret, grouped, gmode,
+    seg_bytes, halo_bytes, cap, tpc_b,
+):
+    """XLA glue + phase-B dispatch: compact live walkers out of the
+    phase-A survivor plane, gather their window planes from the staged
+    pair stream, finish the deep steps densely, and return the
+    per-survivor deep bits with their positions (for the scatter
+    merge) and the true survivor count (host overflow check).
+
+    The TPU analog of per-walker gating the roofline asks for: the
+    vector unit cannot skip dead lanes in place, so survivors are
+    MOVED to dense tiles instead (nonzero + gather at HBM speed), and
+    the deep steps pay O(survivors), not O(positions)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert cap % (tpc_b * TILE) == 0 and cap > 0
+    N = surv.shape[0]
+    flat = data2d.reshape(-1)
+    live = surv != 0
+    count = live.sum()
+    pos = jnp.nonzero(live, size=cap, fill_value=N)[0].astype(jnp.int32)
+    posc = jnp.minimum(pos, N - 1)
+    disp_b = jnp.where(pos < N, surv[posc], 0)
+    offs_list = sorted({sp.depth0 - 1 for sp in steps_b})
+    offs = jnp.asarray(offs_list, jnp.int32)
+    n_offs = len(offs_list)
+    # window planes: staged pair symbols at pos+off.  The staged
+    # stream has a spare tile past the last position (staged_rows) and
+    # step offsets are < 32, so the clip only guards filler rows.
+    g = flat[jnp.minimum(posc[:, None] + offs[None, :], flat.shape[0] - 1)]
+    n_t = cap // TILE
+    g_t = (
+        g.reshape(n_t, _SUB, _LANE, n_offs)
+        .transpose(0, 3, 1, 2)
+        .reshape(n_t * n_offs * _SUB, _LANE)
+    )
+    d_b = disp_b.reshape(n_t * _SUB, _LANE)
+    if seg_bytes:
+        lim = (pos & ~(seg_bytes - 1)) + (seg_bytes + halo_bytes) - pos
+        lim_b = lim.reshape(n_t * _SUB, _LANE)
+    else:
+        lim_b = jnp.zeros((n_t * _SUB, _LANE), jnp.int32)
+    # cond_from=0: even the first deep step sits behind the liveness
+    # cond, so the cap's FILLER tiles (cap is 2.5-5x the estimate) pay
+    # one any_live reduction and nothing else
+    kernel_b = _make_planb_kernel(
+        steps=steps_b, plane={o: j for j, o in enumerate(offs_list)},
+        n_offs=n_offs, cb=cb, p0_miss=p0_miss, tpc=tpc_b, cond_from=0,
+        grouped=grouped, gmode=gmode, seg=seg_bytes > 0,
+    )
+    bits_b = pl.pallas_call(
+        kernel_b,
+        grid=(n_t // tpc_b,),
+        in_specs=[
+            pl.BlockSpec((tpc_b * n_offs * _SUB, _LANE), lambda i: (i, 0)),
+            pl.BlockSpec((tpc_b * _SUB, _LANE), lambda i: (i, 0)),
+            pl.BlockSpec((tpc_b * _SUB, _LANE), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tpc_b * _SUB, _LANE), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_t * _SUB, _LANE), jnp.int32),
+        interpret=interpret,
+    )(g_t, d_b, lim_b, packed_banks, side_banks)
+    return bits_b.reshape(-1), pos, count
+
+
+_STATICS_C = _STATICS + ("cut", "cap", "tpc_b")
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS_C)
+def _plan_scan_bitmap_compact(
+    data2d, s0_dummy, p0_banks, packed_banks, side_banks,
+    *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
+    grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
+    cut=0, cap=0, tpc_b=8,
+):
+    """Two-phase compacted bitmap scan.  Returns (cnt, bits, count):
+    ``count`` is the TRUE survivor total at the cut — the caller must
+    rescan uncompacted when count > cap (fallback, never silent
+    truncation)."""
+    from jax.experimental import pallas as pl
+
+    n_cells, tpc = _common(data2d, tpc)
+    steps_a, steps_b = steps[:cut], steps[cut:]
+    kernel = _make_plan_kernel(
+        steps=steps_a, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
+        emit_bitmap=True, tiles_per_cell=tpc,
+        cond_from=min(cond_from, cut), grouped=grouped, gmode=gmode,
+        seg_bytes=seg_bytes, halo_bytes=halo_bytes, emit_surv=True,
+    )
+    rows_pc = tpc * _SUB
+    shape = jax.ShapeDtypeStruct((n_cells * rows_pc, _LANE), jnp.int32)
+    cnt, bits, surv = pl.pallas_call(
+        kernel,
+        grid=(n_cells,),
+        in_specs=_specs(tpc),
+        out_specs=tuple(
+            pl.BlockSpec((rows_pc, _LANE), lambda i: (i, 0))
+            for _ in range(3)
+        ),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(data2d, data2d, s0_dummy, p0_banks, packed_banks, side_banks)
+    cnt, bits = cnt.reshape(-1), bits.reshape(-1)
+    bits_b, pos, count = _phase_b(
+        data2d, surv.reshape(-1), packed_banks, side_banks,
+        steps_b=steps_b, cb=cb, p0_miss=p0_miss, interpret=interpret,
+        grouped=grouped, gmode=gmode, seg_bytes=seg_bytes,
+        halo_bytes=halo_bytes, cap=cap, tpc_b=tpc_b,
+    )
+    # shallow and deep length bits live in disjoint bit ranges, so
+    # scatter-ADD is exactly bitwise OR; filler rows (pos == N) drop
+    bits = bits.at[pos].add(bits_b, mode="drop")
+    cnt = cnt.at[pos].add(
+        jax.lax.population_count(bits_b), mode="drop"
+    )
+    return cnt, bits, count
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS_C)
+def _plan_scan_count_compact(
+    data2d, shift, p0_banks, packed_banks, side_banks,
+    *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
+    grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
+    cut=0, cap=0, tpc_b=8,
+):
+    """Two-phase compacted count scan.  Returns (total, count)."""
+    from jax.experimental import pallas as pl
+
+    n_cells, tpc = _common(data2d, tpc)
+    steps_a, steps_b = steps[:cut], steps[cut:]
+    kernel = _make_plan_kernel(
+        steps=steps_a, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
+        emit_bitmap=False, tiles_per_cell=tpc,
+        cond_from=min(cond_from, cut), grouped=grouped, gmode=gmode,
+        seg_bytes=seg_bytes, halo_bytes=halo_bytes, emit_surv=True,
+    )
+    rows_pc = tpc * _SUB
+    partial, surv = pl.pallas_call(
+        kernel,
+        grid=(n_cells,),
+        in_specs=_specs(tpc),
+        out_specs=(
+            pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0)),
+            pl.BlockSpec((rows_pc, _LANE), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_cells * _SUB, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((n_cells * rows_pc, _LANE), jnp.int32),
+        ),
+        interpret=interpret,
+    )(data2d, data2d, shift.reshape(1), p0_banks, packed_banks, side_banks)
+    bits_b, pos, count = _phase_b(
+        data2d, surv.reshape(-1), packed_banks, side_banks,
+        steps_b=steps_b, cb=cb, p0_miss=p0_miss, interpret=interpret,
+        grouped=grouped, gmode=gmode, seg_bytes=seg_bytes,
+        halo_bytes=halo_bytes, cap=cap, tpc_b=tpc_b,
+    )
+    ok = pos < surv.size  # filler rows excluded
+    deep = jnp.where(
+        ok & (pos >= shift), jax.lax.population_count(bits_b), 0
+    ).sum()
+    return partial.sum() + deep, count
+
+
 @functools.partial(jax.jit, static_argnames=_STATICS)
 def _plan_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
@@ -584,12 +880,14 @@ class PlanShardScanner:
     """Bitmap-mode hybrid-stride scanner for one shard (exact mode)."""
 
     def __init__(self, shard: ShardTables, *, interpret: bool = False,
-                 tpc: int = 32, cond_from="auto", train=None):
+                 tpc: int = 32, cond_from="auto", train=None,
+                 compact="auto"):
         self.pt: PlanTables = build_plan_tables(shard, train=train)
         self.shard = shard
         self.interpret = interpret
         self.tpc = tpc
         self.cond_from = resolve_cond_from(self.pt, cond_from)
+        self.compact = compact
         self._code = jnp.asarray(self.pt.code_of)
 
     def _statics(self):
@@ -603,6 +901,18 @@ class PlanShardScanner:
         )
 
     def scan(self, data_padded, input_size, cfg, max_steps):
+        _cnt, _bits, verify = self.scan_async(
+            data_padded, input_size, cfg, max_steps
+        )
+        return verify()
+
+    def scan_async(self, data_padded, input_size, cfg, max_steps):
+        """Dispatch-only variant for pipelined callers: returns
+        (cnt, bits, verify).  ``verify()`` (call it at RESOLVE time,
+        after/with the bits fetch) checks the compacted scan's true
+        survivor count and, on cap overflow, rescans uncompacted and
+        returns the corrected (cnt, bits); otherwise it returns the
+        originals.  No device sync happens before verify()."""
         seg, halo = 0, 0
         if cfg.truncation == "segment":
             # the in-kernel cut needs a power-of-two segment (one
@@ -615,14 +925,42 @@ class PlanShardScanner:
             jnp.asarray(data_padded), jnp.asarray(np.int32(input_size)),
             self._code, n_rows=staged_rows(n_pos), cb=self.pt.code_bits,
         )
-        return _plan_scan_bitmap(
+        return self._scan_async(data2d, seg, halo)
+
+    def _scan_async(self, data2d, seg, halo):
+        def plain():
+            return _plan_scan_bitmap(
+                data2d, jnp.zeros(1, jnp.int32),
+                jnp.asarray(self.pt.p0_banks),
+                jnp.asarray(self.pt.packed_banks),
+                jnp.asarray(self.pt.side_banks),
+                seg_bytes=seg, halo_bytes=halo,
+                **self._statics(),
+            )
+
+        n_pos = data2d.shape[0] * _LANE - TILE
+        cc = resolve_compact(self.pt, n_pos, self.compact)
+        if cc is None:
+            cnt, bits = plain()
+            return cnt, bits, lambda: (cnt, bits)
+        cut, cap = cc
+        cnt, bits, count = _plan_scan_bitmap_compact(
             data2d, jnp.zeros(1, jnp.int32),
             jnp.asarray(self.pt.p0_banks),
             jnp.asarray(self.pt.packed_banks),
             jnp.asarray(self.pt.side_banks),
-            seg_bytes=seg, halo_bytes=halo,
+            seg_bytes=seg, halo_bytes=halo, cut=cut, cap=cap,
             **self._statics(),
         )
+
+        def verify(cnt=cnt, bits=bits):
+            if int(count) <= cap:
+                return cnt, bits
+            # trained estimate was wrong for THIS corpus: rescan
+            # uncompacted (correctness over speed, never truncation)
+            return plain()
+
+        return cnt, bits, verify
 
 
 class PlanCountScan:
@@ -630,12 +968,18 @@ class PlanCountScan:
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
                  interpret: bool = False, tpc: int = 32, cond_from="auto",
-                 train=None):
+                 train=None, compact="auto"):
         self.pt = build_plan_tables(shard, train=train)
         self.max_steps = max_steps
         self.interpret = interpret
         self.tpc = tpc
         self.cond_from = resolve_cond_from(self.pt, cond_from)
+        self.compact = compact
+        # device scalars of each compacted scan's true survivor count;
+        # callers drain via check_overflow() AFTER timing (one fetch),
+        # keeping the chained-dispatch protocol sync-free
+        self._surv_counts = []
+        self._surv_caps = []
         self._code = jnp.asarray(self.pt.code_of)
         self._p0 = jnp.asarray(self.pt.p0_banks)
         self._m = jnp.asarray(self.pt.packed_banks)
@@ -650,15 +994,37 @@ class PlanCountScan:
 
     def scan(self, staged, input_size, shift):
         pt = self.pt
-        return _plan_scan_count(
-            staged, jnp.asarray(shift, jnp.int32),
-            self._p0, self._m, self._s,
+        statics = dict(
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
             interpret=self.interpret, tpc=self.tpc,
             cond_from=self.cond_from, grouped=pt.trained,
             gmode=_default_gmode(),
         )
+        n_pos = staged.shape[0] * _LANE - TILE
+        cc = resolve_compact(pt, n_pos, self.compact)
+        if cc is not None:
+            cut, cap = cc
+            total, count = _plan_scan_count_compact(
+                staged, jnp.asarray(shift, jnp.int32),
+                self._p0, self._m, self._s, cut=cut, cap=cap, **statics,
+            )
+            self._surv_counts.append(count)
+            self._surv_caps.append(cap)
+            return total
+        return _plan_scan_count(
+            staged, jnp.asarray(shift, jnp.int32),
+            self._p0, self._m, self._s, **statics,
+        )
+
+    def check_overflow(self) -> bool:
+        """True if ANY compacted scan since the last check overflowed
+        its survivor cap (its count result is then a truncation —
+        callers must rerun those inputs with compact=0).  One deferred
+        device fetch; keeps scan() itself dispatch-only."""
+        counts, caps = self._surv_counts, self._surv_caps
+        self._surv_counts, self._surv_caps = [], []
+        return any(int(c) > cap for c, cap in zip(counts, caps))
 
     def __call__(self, data_padded, input_size, shift):
         return self.scan(self.prepare(data_padded, input_size),
@@ -667,8 +1033,9 @@ class PlanCountScan:
 
 def plan_count_scanner(shard: ShardTables, max_steps: int, *,
                        interpret: bool = False, tpc: int = 32,
-                       cond_from="auto", train=None) -> PlanCountScan:
+                       cond_from="auto", train=None,
+                       compact="auto") -> PlanCountScan:
     return PlanCountScan(
         shard, max_steps, interpret=interpret, tpc=tpc, cond_from=cond_from,
-        train=train,
+        train=train, compact=compact,
     )

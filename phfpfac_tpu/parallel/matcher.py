@@ -344,12 +344,26 @@ class Matcher:
         try:
             if kind == "depth":
                 def bitmap_dispatch(ds, st):
-                    _cnt, b = ds.scan(
-                        padded, input_size, self.config, max_steps
-                    )
+                    # plan scanners expose the dispatch-only async
+                    # variant whose verify() (run at resolve time)
+                    # handles compacted-scan survivor-cap overflow
+                    # without a per-dispatch device sync
+                    if hasattr(ds, "scan_async"):
+                        _cnt, b, vfy = ds.scan_async(
+                            padded, input_size, self.config, max_steps
+                        )
+                    else:
+                        _cnt, b = ds.scan(
+                            padded, input_size, self.config, max_steps
+                        )
+                        vfy = None
 
-                    def resolve(b=b, st=st):
-                        pos, hb = fetch_hit_bits(b, input_size)
+                    def resolve(b=b, st=st, vfy=vfy):
+                        if vfy is not None:
+                            _c2, b2 = vfy()
+                        else:
+                            b2 = b
+                        pos, hb = fetch_hit_bits(b2, input_size)
                         return decode_hits(
                             hb, pos, data, input_size, st, max_steps
                         )
