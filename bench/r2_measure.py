@@ -1,0 +1,129 @@
+"""Unattended round-2 TPU measurement driver.
+
+Polls for the TPU (the axon tunnel has been flapping this round); once
+a device answers, runs the full round-2 measurement protocol in order,
+appending one line per result to bench/r2_results.log.  Each step runs
+in a SUBPROCESS so a hung tunnel or Mosaic failure can't kill the
+driver; steps are skipped once their tag already appears in the log
+(idempotent across restarts).
+
+Usage: python bench/r2_measure.py [--poll-secs 120] [--once]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+LOG = os.path.join(REPO, "bench", "r2_results.log")
+
+# (tag, argv, timeout_s) — ordered cheapest-first so early results land
+# even if the tunnel dies again; big-dict compiles can take ~25 min.
+STEPS = [
+    ("glue_cal_32_d04",
+     [sys.executable, "bench/glue_cal.py", "--mib", "32",
+      "--density", "0.04"], 1800),
+    ("glue_cal_32_d005",
+     [sys.executable, "bench/glue_cal.py", "--mib", "32",
+      "--density", "0.005"], 1800),
+    ("kexp_english_32_nocompact",
+     [sys.executable, "bench/kexp.py", "--mib", "32",
+      "--compact", "off"], 3600),
+    ("kexp_english_32_compact",
+     [sys.executable, "bench/kexp.py", "--mib", "32"], 3600),
+    ("binary_32_compact",
+     [sys.executable, "bench/binary.py", "--mib", "32",
+      "--tpc", "16", "--cond-from", "2"], 3600),
+    ("kexp_big_8_nocompact",
+     [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "8",
+      "--compact", "off"], 5400),
+    ("kexp_big_8_compact",
+     [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "8"],
+     5400),
+    ("bench_headline_128",
+     [sys.executable, "bench.py"], 5400),
+]
+
+
+def tpu_up(timeout: int = 90) -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            cwd=REPO, capture_output=True, text=True, timeout=timeout,
+        )
+        return r.returncode == 0 and "tpu" in r.stdout.lower()
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def done_tags() -> set:
+    if not os.path.exists(LOG):
+        return set()
+    return {
+        line.split("|", 1)[0].strip()
+        for line in open(LOG) if "|" in line
+    }
+
+
+def log(tag: str, text: str) -> None:
+    with open(LOG, "a") as f:
+        f.write(f"{tag} | {text}\n")
+    print(f"[r2] {tag} | {text}", flush=True)
+
+
+def run_step(tag: str, argv: list, timeout: int) -> bool:
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            argv, cwd=REPO, capture_output=True, text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        log(tag, f"TIMEOUT after {timeout}s")
+        return False
+    tail = (r.stdout.strip().splitlines() or ["<no stdout>"])[-1]
+    if r.returncode != 0:
+        err = (r.stderr.strip().splitlines() or ["<no stderr>"])[-1]
+        log(tag, f"FAILED rc={r.returncode} ({time.time()-t0:.0f}s): "
+                 f"{tail} :: {err[:300]}")
+        return False
+    log(tag, f"({time.time()-t0:.0f}s) {tail}")
+    return True
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--poll-secs", type=int, default=120)
+    ap.add_argument("--once", action="store_true",
+                    help="single TPU check, no poll loop")
+    args = ap.parse_args()
+
+    while True:
+        if tpu_up():
+            break
+        print("[r2] TPU down; waiting", flush=True)
+        if args.once:
+            return
+        time.sleep(args.poll_secs)
+
+    print("[r2] TPU UP — running protocol", flush=True)
+    done = done_tags()
+    for tag, argv, timeout in STEPS:
+        if tag in done:
+            print(f"[r2] skip {tag} (already logged)", flush=True)
+            continue
+        ok = run_step(tag, argv, timeout)
+        if not ok and not tpu_up():
+            print("[r2] TPU lost mid-protocol; exiting (rerun me)",
+                  flush=True)
+            return
+    print("[r2] protocol complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
