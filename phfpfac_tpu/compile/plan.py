@@ -625,6 +625,9 @@ class StackedPlanTables:
     p0_miss: int
     max_pat_len: int
     trained: bool
+    # per-step trained live fractions, elementwise MAX across shards
+    # (conservative: sizes the compaction cap for the busiest shard)
+    live_frac: tuple = ()
 
     @property
     def num_shards(self) -> int:
@@ -727,4 +730,11 @@ def build_stacked_plan_tables(
         steps=specs, p0_miss=pts[0].p0_miss,
         max_pat_len=max(sh.max_pat_len for sh in shards),
         trained=all(pt.trained for pt in pts),
+        live_frac=tuple(
+            max(
+                (pt.live_frac[i] if i < len(pt.live_frac) else 0.0)
+                for pt in pts
+            )
+            for i in range(n_steps)
+        ),
     )

@@ -222,10 +222,20 @@ def _mesh_plan_stacked_scan(
     Tables come from compile.plan.build_stacked_plan_tables (uniform
     static geometry), so every device runs the SAME program — the plan
     engine's answer to the reference's per-shard stream dispatch
-    (main.cc:225-241) without a host loop."""
-    from phfpfac_tpu.ops.pallas_plan import _plan_scan_bitmap
+    (main.cc:225-241) without a host loop.
+
+    ``compact`` = (cut, cap) runs the two-phase compacted scan on each
+    (patterns, data) device cell — survivors are compacted LOCALLY, no
+    extra collectives — returning (bits [S, data*...], counts [S,
+    n_data]); the caller must rescan uncompacted when any count
+    exceeds the cap."""
+    from phfpfac_tpu.ops.pallas_plan import (
+        _plan_scan_bitmap,
+        _plan_scan_bitmap_compact,
+    )
 
     n_data = mesh.shape["data"]
+    compact = statics.pop("compact", None)
 
     def cell(d2, p0_c, m_c, s_c):
         halo = jax.lax.ppermute(
@@ -236,6 +246,12 @@ def _mesh_plan_stacked_scan(
         is_last = jax.lax.axis_index("data") == n_data - 1
         halo = jnp.where(is_last, jnp.int32(miss_sym), halo)
         local = jnp.concatenate([d2, halo], axis=0)
+        if compact is not None:
+            _cnt, bits, count = _plan_scan_bitmap_compact(
+                local, jnp.zeros(1, jnp.int32), p0_c[0], m_c[0], s_c[0],
+                cut=compact[0], cap=compact[1], **statics
+            )
+            return bits.reshape(1, -1), count.reshape(1, 1)
         _cnt, bits = _plan_scan_bitmap(
             local, jnp.zeros(1, jnp.int32), p0_c[0], m_c[0], s_c[0],
             **statics
@@ -249,7 +265,10 @@ def _mesh_plan_stacked_scan(
             P("data", None), P("patterns", None, None),
             P("patterns", None, None), P("patterns", None, None),
         ),
-        out_specs=P("patterns", "data"),
+        out_specs=(
+            (P("patterns", "data"), P("patterns", "data"))
+            if compact is not None else P("patterns", "data")
+        ),
         check_vma=False,
     )
     return f(data2d, p0, packed, side)
@@ -263,9 +282,13 @@ def _mesh_plan_bitmap_scan(
     statics: dict,
     miss_sym: int,
 ):
-    from phfpfac_tpu.ops.pallas_plan import _plan_scan_bitmap
+    from phfpfac_tpu.ops.pallas_plan import (
+        _plan_scan_bitmap,
+        _plan_scan_bitmap_compact,
+    )
 
     n_data = mesh.shape["data"]
+    compact = statics.pop("compact", None)
 
     def cell(d2, p0, m, s):
         halo = jax.lax.ppermute(
@@ -278,6 +301,12 @@ def _mesh_plan_bitmap_scan(
         is_last = jax.lax.axis_index("data") == n_data - 1
         halo = jnp.where(is_last, jnp.int32(miss_sym), halo)
         local = jnp.concatenate([d2, halo], axis=0)
+        if compact is not None:
+            _cnt, bits, count = _plan_scan_bitmap_compact(
+                local, jnp.zeros(1, jnp.int32), p0, m, s,
+                cut=compact[0], cap=compact[1], **statics
+            )
+            return bits, count.reshape(1)
         _cnt, bits = _plan_scan_bitmap(
             local, jnp.zeros(1, jnp.int32), p0, m, s, **statics
         )
@@ -288,7 +317,9 @@ def _mesh_plan_bitmap_scan(
         mesh=mesh,
         in_specs=(P("data", None), P(None, None), P(None, None),
                   P(None, None)),
-        out_specs=P("data"),
+        out_specs=(
+            (P("data"), P("data")) if compact is not None else P("data")
+        ),
         check_vma=False,
     )
     return f(data2d, p0_banks, packed_banks, side_banks)
@@ -311,12 +342,14 @@ class PlanMeshMatcher:
 
     def __init__(self, compiled: CompiledDictionary, config, mesh: Mesh,
                  *, interpret: bool = False, tpc: int = 8,
-                 train: bytes | None = None):
+                 train: bytes | None = None, compact="auto"):
         from phfpfac_tpu.compile.pair import PairUnsupported
         from phfpfac_tpu.compile.plan import (
             build_plan_tables,
             build_stacked_plan_tables,
         )
+
+        self.compact = compact
 
         if config.truncation == "segment":
             raise PairUnsupported("segment truncation needs stride-1")
@@ -357,6 +390,12 @@ class PlanMeshMatcher:
         n_pos = len(padded) - max_steps
         rows = n_pos // 128  # per-cell halos come from ppermute
 
+        from phfpfac_tpu.ops.pallas_plan import resolve_compact
+
+        # survivors compact per data-cell, so the cut/cap resolve
+        # against the PER-DEVICE position count
+        n_data_pos = n_pos // n_data
+
         if self.stacked is not None:
             st = self.stacked
             data2d = stage_pairs(
@@ -365,20 +404,31 @@ class PlanMeshMatcher:
                 jnp.asarray(st.code_of), n_rows=rows, cb=st.code_bits,
             )
             sigma = int(st.code_of.max())
-            statics = dict(
-                steps=st.steps, nb_p0=st.p0_banks.shape[1],
-                cb=st.code_bits, p0_miss=st.p0_miss, p0_mode=st.p0_mode,
-                interpret=self.interpret, tpc=self.tpc,
-                cond_from=3, grouped=st.trained,
-            )
-            bits = _mesh_plan_stacked_scan(
-                data2d,
-                jnp.asarray(st.p0_banks),
-                jnp.asarray(st.packed_banks),
-                jnp.asarray(st.side_banks),
-                mesh=self.mesh, statics=statics,
-                miss_sym=(sigma << st.code_bits) | sigma,
-            )
+            cc = resolve_compact(st, n_data_pos, self.compact)
+
+            def scan_stacked(cc):
+                statics = dict(
+                    steps=st.steps, nb_p0=st.p0_banks.shape[1],
+                    cb=st.code_bits, p0_miss=st.p0_miss,
+                    p0_mode=st.p0_mode,
+                    interpret=self.interpret, tpc=self.tpc,
+                    cond_from=3, grouped=st.trained, compact=cc,
+                )
+                return _mesh_plan_stacked_scan(
+                    data2d,
+                    jnp.asarray(st.p0_banks),
+                    jnp.asarray(st.packed_banks),
+                    jnp.asarray(st.side_banks),
+                    mesh=self.mesh, statics=statics,
+                    miss_sym=(sigma << st.code_bits) | sigma,
+                )
+
+            if cc is not None:
+                bits, counts = scan_stacked(cc)
+                if int(np.asarray(counts).max()) > cc[1]:
+                    bits = scan_stacked(None)  # overflow: exact rescan
+            else:
+                bits = scan_stacked(None)
             flats = []
             for si, shard in enumerate(self.compiled.shards):
                 pos, hb = fetch_hit_bits(bits[si], input_size)
@@ -396,20 +446,31 @@ class PlanMeshMatcher:
                 jnp.asarray(pt.code_of), n_rows=rows, cb=pt.code_bits,
             )
             sigma = int(pt.code_of.max())
-            statics = dict(
-                steps=pt.steps, nb_p0=pt.p0_banks.shape[0],
-                cb=pt.code_bits, p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
-                interpret=self.interpret, tpc=self.tpc,
-                cond_from=3, grouped=pt.trained,
-            )
-            bits = _mesh_plan_bitmap_scan(
-                data2d,
-                jnp.asarray(pt.p0_banks),
-                jnp.asarray(pt.packed_banks),
-                jnp.asarray(pt.side_banks),
-                mesh=self.mesh, statics=statics,
-                miss_sym=(sigma << pt.code_bits) | sigma,
-            )
+            cc = resolve_compact(pt, n_data_pos, self.compact)
+
+            def scan_one(cc, pt=pt, data2d=data2d, sigma=sigma):
+                statics = dict(
+                    steps=pt.steps, nb_p0=pt.p0_banks.shape[0],
+                    cb=pt.code_bits, p0_miss=pt.p0_miss,
+                    p0_mode=pt.p0_mode,
+                    interpret=self.interpret, tpc=self.tpc,
+                    cond_from=3, grouped=pt.trained, compact=cc,
+                )
+                return _mesh_plan_bitmap_scan(
+                    data2d,
+                    jnp.asarray(pt.p0_banks),
+                    jnp.asarray(pt.packed_banks),
+                    jnp.asarray(pt.side_banks),
+                    mesh=self.mesh, statics=statics,
+                    miss_sym=(sigma << pt.code_bits) | sigma,
+                )
+
+            if cc is not None:
+                bits, counts = scan_one(cc)
+                if int(np.asarray(counts).max()) > cc[1]:
+                    bits = scan_one(None)  # overflow: exact rescan
+            else:
+                bits = scan_one(None)
             pos, hb = fetch_hit_bits(bits, input_size)
             flats.append(
                 decode_hits(hb, pos, data, input_size, shard, max_steps)

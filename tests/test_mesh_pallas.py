@@ -117,3 +117,38 @@ class TestPlanMesh:
                              interpret=True)
         got = [tuple(x) for x in pm.match(data).tolist()]
         assert got == match_oracle(pats, data, cfg)
+
+    def test_mesh_compacted_scan_parity(self, reference_dir):
+        """Two-phase survivor compaction under shard_map: survivors
+        compact per DEVICE cell (no extra collectives); both the
+        replicated data-axis path and the stacked (data x patterns)
+        path must match the uncompacted mesh scan and the oracle."""
+        from phfpfac_tpu.parallel.mesh_pallas import PlanMeshMatcher
+
+        words = (reference_dir / "xaa").read_bytes().split()[:400]
+        data = (reference_dir / "1M").read_bytes()[:65536]
+        for n_data, n_pat in ((2, 4), (4, 1)):
+            pats, cfg, compiled = _mk(words, n_pat)
+            base = PlanMeshMatcher(
+                compiled, cfg, make_mesh(n_data, n_pat),
+                interpret=True, train=data[:8192], compact="off",
+            )
+            want = [tuple(x) for x in base.match(data).tolist()]
+            pm = PlanMeshMatcher(
+                compiled, cfg, make_mesh(n_data, n_pat),
+                interpret=True, train=data[:8192], compact=(2, 8192),
+            )
+            if n_pat > 1:
+                assert pm.stacked is not None
+            got = [tuple(x) for x in pm.match(data).tolist()]
+            assert got == want == match_oracle(pats, data, cfg)
+        # overflow on a device cell -> exact rescan (cap 8192 is far
+        # below the survivors of an all-matching corpus)
+        dense = (words[0] + b" ") * (65536 // (len(words[0]) + 1))
+        pats, cfg, compiled = _mk(words, 1)
+        pm = PlanMeshMatcher(
+            compiled, cfg, make_mesh(4, 1), interpret=True,
+            train=data[:8192], compact=(1, 8192),
+        )
+        got = [tuple(x) for x in pm.match(dense).tolist()]
+        assert got == match_oracle(pats, dense, cfg)
