@@ -121,8 +121,17 @@ def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
         disp = np.where(alive, v >> 1, miss)
         vops += C_PROLOGUE_S0 * (n_cells * tpc)
     else:
-        v = lut(pair_sym[:n], np.arange(0), 0, 1, 0)  # placeholder
-        raise NotImplementedError("dense p0 simulation not needed yet")
+        # dense P0: indexed by the raw pair symbol, covers depths 1+2
+        # ((next_disp << 2) | (fin2 << 1) | fin1; -1 = miss)
+        v = lut(p0_flat, pair_sym[:n], 0, pt.p0_banks.shape[0], 0)
+        alive = v >= 0
+        matches += int((alive & ((v & 1) == 1)).sum())
+        matches += int((alive & ((v & 2) == 2)).sum())
+        disp = np.where(alive, v >> 2, miss)
+        vops += (
+            C_PROLOGUE_DENSE_PER_BANK * pt.p0_banks.shape[0]
+            * (n_cells * tpc)
+        )
     ledger.append(("p0", vops, 1.0, 0.0, 0.0))
 
     trained = pt.trained
@@ -275,7 +284,12 @@ def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
                   + (f" loop={lb[0]:5.2f}" if lb else ""))
         print(f"  total vops/cell={vops / n_cells:.0f}  "
               f"predicted {gbps:.3f} GB/s  matches={matches}")
+    global LAST_MATCHES
+    LAST_MATCHES = matches  # parity hook (tests/test_costsim.py)
     return gbps, vops, ledger
+
+
+LAST_MATCHES = -1
 
 
 def load_dict(which):
