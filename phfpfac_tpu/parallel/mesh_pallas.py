@@ -18,8 +18,12 @@ instead, with the same two mesh axes:
 
 Output: per-position match bitmaps laid out [patterns, data-major
 positions] — identical decoding contract to the single-chip pallas
-path (ops.bitmap).  Exact mode only; segment-truncation parity runs
-stay on the turbo mesh path.
+path (ops.bitmap).  The depth mesh matcher is exact mode only
+(segment parity runs ride the turbo mesh); the PLAN mesh matcher
+below also supports segment truncation (per-device slices are
+segment-aligned, so the kernel's local positional cut equals the
+single-chip one) and the two-phase survivor compaction (per device
+cell, host fallback on cap overflow).
 """
 
 from __future__ import annotations
@@ -351,8 +355,11 @@ class PlanMeshMatcher:
 
         self.compact = compact
 
-        if config.truncation == "segment":
-            raise PairUnsupported("segment truncation needs stride-1")
+        if config.truncation == "segment" and (
+            config.segment_bytes & (config.segment_bytes - 1)
+        ):
+            # the in-kernel positional cut needs a power-of-two segment
+            raise PairUnsupported("segment size must be a power of 2")
         if "data" not in mesh.shape:
             raise ValueError("mesh needs a 'data' axis")
         self.compiled = compiled
@@ -386,7 +393,18 @@ class PlanMeshMatcher:
             input_size = len(data)
         max_steps = padded_steps(self.compiled.max_pat_len)
         n_data = self.mesh.shape["data"]
-        padded = pad_input(data, 1024 * n_data, max_steps)
+        seg, halo = 0, 0
+        block = 1024 * n_data
+        if self.config.truncation == "segment":
+            # per-device slices must start ON segment boundaries so the
+            # kernel's device-local position arithmetic computes the
+            # same cut limits as a single-chip scan (device_base is a
+            # segment multiple, and the limit only depends on
+            # pos mod segment)
+            seg = self.config.segment_bytes
+            halo = self.config.halo_bytes
+            block = n_data * max(1024, seg)
+        padded = pad_input(data, block, max_steps)
         n_pos = len(padded) - max_steps
         rows = n_pos // 128  # per-cell halos come from ppermute
 
@@ -413,6 +431,7 @@ class PlanMeshMatcher:
                     p0_mode=st.p0_mode,
                     interpret=self.interpret, tpc=self.tpc,
                     cond_from=3, grouped=st.trained, compact=cc,
+                    seg_bytes=seg, halo_bytes=halo,
                 )
                 return _mesh_plan_stacked_scan(
                     data2d,
@@ -455,6 +474,7 @@ class PlanMeshMatcher:
                     p0_mode=pt.p0_mode,
                     interpret=self.interpret, tpc=self.tpc,
                     cond_from=3, grouped=pt.trained, compact=cc,
+                    seg_bytes=seg, halo_bytes=halo,
                 )
                 return _mesh_plan_bitmap_scan(
                     data2d,

@@ -152,3 +152,31 @@ class TestPlanMesh:
         )
         got = [tuple(x) for x in pm.match(dense).tolist()]
         assert got == match_oracle(pats, dense, cfg)
+
+    def test_mesh_segment_truncation_parity(self, reference_dir):
+        """Segment-truncation mode on the mesh plan matcher (the
+        reference's multi-GPU runs ARE segment mode, main.cc:225-241):
+        per-device slices are segment-aligned so the kernel's local
+        position arithmetic yields the single-chip cut limits.  Parity
+        against the oracle and the single-chip matcher, compacted and
+        not."""
+        from phfpfac_tpu.parallel.mesh_pallas import PlanMeshMatcher
+
+        words = (reference_dir / "xaa").read_bytes().split()[:300]
+        data = (reference_dir / "1M").read_bytes()[:40000]
+        pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
+        cfg = PfacConfig(
+            width=1024, num_shards=2, truncation="segment",
+            segment_bytes=2048, halo_bytes=32, interpret=True,
+        )
+        compiled = compile_patterns(pats, cfg)
+        want = match_oracle(pats, data, cfg)
+        single = Matcher(compiled, cfg, engine="pallas")
+        assert [tuple(x) for x in single.match(data).tolist()] == want
+        for compact in ("off", (2, 8192)):
+            pm = PlanMeshMatcher(
+                compiled, cfg, make_mesh(4, 2), interpret=True,
+                train=data[:8192], compact=compact,
+            )
+            got = [tuple(x) for x in pm.match(data).tolist()]
+            assert got == want, f"compact={compact}"
