@@ -62,11 +62,15 @@ def tpu_up(timeout: int = 90) -> bool:
 
 
 def done_tags() -> set:
+    """Tags with a SUCCESSFUL logged result; FAILED/TIMEOUT lines do
+    not count, so a tunnel flap's casualties are retried on rerun."""
     if not os.path.exists(LOG):
         return set()
     return {
         line.split("|", 1)[0].strip()
-        for line in open(LOG) if "|" in line
+        for line in open(LOG)
+        if "|" in line
+        and "FAILED" not in line and "TIMEOUT" not in line
     }
 
 

@@ -423,11 +423,18 @@ def build_plan_tables(
             kind == "pair" and d in pair_cand
         )
         if not in_range:
-            # forced step past this shard's depth: all-miss table
+            # forced step past this shard's depth: all-miss table.
+            # Carry the LEAD shard's nibble choice (forced_nib) so the
+            # stacked build's side dead-zone base (span >> wshift) and
+            # s_k0 stay uniform across shards — an empty step with the
+            # byte default would otherwise debase with the wrong shift
+            # and fail the stacker's uniformity assertions.
             built[i] = dict(
                 kind=kind, d=d,
                 vshift=(cb + 1) if kind == "mono" else (2 * cb + 1),
                 empty=True,
+                nib=bool(forced_nib.get(d, False)) if kind == "pair"
+                else False,
             )
             continue
         _materialize(kind, d)
@@ -700,9 +707,14 @@ def build_stacked_plan_tables(
     for pt in pts:
         for i in range(n_steps):
             # the dead-zone k0 depends only on (kind, nibble), which
-            # the forced builds share — uniform across shards
-            assert pt.steps[i].k0 == pts[0].steps[i].k0
-            assert pt.steps[i].s_k0 == pts[0].steps[i].s_k0
+            # the forced builds share — uniform across shards.  Raise
+            # the expected fallback exception (callers drop to the
+            # host shard loop) rather than crashing on an invariant.
+            if (pt.steps[i].k0 != pts[0].steps[i].k0
+                    or pt.steps[i].s_k0 != pts[0].steps[i].s_k0):
+                raise PairUnsupported(
+                    f"non-uniform dead-zone base at step {i}"
+                )
     specs = tuple(
         StepSpec(
             kind=kinds[i][0], depth0=kinds[i][1] + 1,

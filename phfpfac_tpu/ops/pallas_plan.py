@@ -537,12 +537,14 @@ def resolve_compact(pt: PlanTables, n_pos: int, compact="auto",
     """Choose the two-phase cut: -> (cut_step, cap) or None.
 
     "auto" cuts at the first step whose trained live-walker fraction
-    drops to ~4% — early enough that most deep-step vops move to the
-    compacted phase, late enough that the survivor cap (and with it
-    the glue's gather traffic) stays a few % of the corpus.  The cap
-    carries a 4x margin over the trained estimate; the TRUE count is
-    returned by the scan so callers rescan uncompacted on overflow
-    (train/scan corpus mismatch), never losing matches."""
+    drops to ~5% (_COMPACT_MAX_FRAC) — early enough that most
+    deep-step vops move to the compacted phase, late enough that the
+    survivor cap (and with it the glue's gather traffic) stays a few
+    % of the corpus.  The cap carries a 2.5x margin
+    (_COMPACT_MARGIN) over the trained estimate, plus up to 2x from
+    pow2 bucketing; the TRUE count is returned by the scan so callers
+    rescan uncompacted on overflow (train/scan corpus mismatch),
+    never losing matches."""
     if compact in (None, 0, "off", False):
         return None
     block = tpc_b * TILE
@@ -1020,11 +1022,17 @@ class PlanCountScan:
     def check_overflow(self) -> bool:
         """True if ANY compacted scan since the last check overflowed
         its survivor cap (its count result is then a truncation —
-        callers must rerun those inputs with compact=0).  One deferred
-        device fetch; keeps scan() itself dispatch-only."""
+        callers must rerun those inputs with compact=0).  The margins
+        are reduced on DEVICE and fetched once (each host fetch costs
+        ~40 ms through the tunnel); keeps scan() itself dispatch-only."""
         counts, caps = self._surv_counts, self._surv_caps
         self._surv_counts, self._surv_caps = [], []
-        return any(int(c) > cap for c, cap in zip(counts, caps))
+        if not counts:
+            return False
+        over = jnp.stack(
+            [c - cap for c, cap in zip(counts, caps)]
+        ).max()
+        return int(over) > 0
 
     def __call__(self, data_padded, input_size, shift):
         return self.scan(self.prepare(data_padded, input_size),

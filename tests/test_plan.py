@@ -384,3 +384,40 @@ def test_compacted_two_phase_scan_parity():
     t1 = int(cnt_c(padded, n, 0))
     assert not cnt_c.check_overflow()
     assert t0 == t1 == oracle_n
+
+
+def test_stacked_nibble_empty_step_uniform_dead_zone():
+    """Stacking a deep shard whose DP picks NIBBLE side packing with a
+    shard shallower than those depths: the shallow shard's forced
+    steps are empty, and their side dead-zone base must debase with
+    the lead's nibble shift (span >> 3), not the byte default —
+    otherwise s_k0 differs across shards and the stacker rejects a
+    perfectly stackable dictionary (regression: empty steps carried no
+    'nib' and always debased byte-wise)."""
+    from phfpfac_tpu.compile.plan import build_stacked_plan_tables
+
+    rng = np.random.default_rng(103)
+    alpha = np.frombuffer(b"abcdefghijklmnop", dtype=np.uint8)
+    longw = list(dict.fromkeys(
+        bytes(alpha[rng.integers(0, 16, int(rng.integers(8, 16)))])
+        for _ in range(3000)))
+    shortw = list(dict.fromkeys(
+        b"z" + bytes(alpha[rng.integers(0, 16, 2)]) for _ in range(600)))
+    cfg = PfacConfig(width=2048, num_shards=1)
+    comp_a = compile_patterns(
+        [Pattern(i + 1, w) for i, w in enumerate(sorted(longw))], cfg)
+    comp_b = compile_patterns(
+        [Pattern(i + 1, w) for i, w in enumerate(sorted(shortw))], cfg)
+    shards = [comp_a.shards[0], comp_b.shards[0]]
+    assert shards[1].max_pat_len < shards[0].max_pat_len
+    pt0 = build_plan_tables(shards[0])
+    deep_nib = [
+        s.depth0 for s in pt0.steps
+        if s.kind == "pair" and s.s_nibble
+        and s.depth0 > shards[1].max_pat_len
+    ]
+    assert deep_nib, "construction must exercise nibble past shard B"
+    st = build_stacked_plan_tables(shards)
+    for s in st.steps:
+        if s.kind == "pair" and s.depth0 in deep_nib:
+            assert s.s_nibble and s.s_k0 == 1
