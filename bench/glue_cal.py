@@ -34,10 +34,12 @@ CLOCK = 0.94e9  # matches costsim.VOP_RATE
 def glue(surv, flat, *, cap: int, n_offs: int):
     import jax.numpy as jnp
 
+    from phfpfac_tpu.ops.pallas_plan import _compact_positions
+
     N = surv.shape[0]
     live = surv != 0
     count = live.sum()
-    pos = jnp.nonzero(live, size=cap, fill_value=N)[0].astype(jnp.int32)
+    pos = _compact_positions(live, cap)  # honors PHFPFAC_GLUE
     posc = jnp.minimum(pos, N - 1)
     disp_b = jnp.where(pos < N, surv[posc], 0)
     offs = jnp.arange(n_offs, dtype=jnp.int32) * 2 + 1
@@ -56,7 +58,12 @@ def main() -> None:
     ap.add_argument("--cap-x", type=float, default=4.0)
     ap.add_argument("--n-offs", type=int, default=7)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--glue", default=None, choices=["nonzero", "mxu"])
     args = ap.parse_args()
+    if args.glue:
+        import os
+
+        os.environ["PHFPFAC_GLUE"] = args.glue
 
     import jax
     import jax.numpy as jnp
@@ -90,7 +97,8 @@ def main() -> None:
     n_surv = int(count)
     cyc = dt * CLOCK
     print(
-        f"[glue] mib={args.mib} density={args.density} cap={cap} "
+        f"[glue] mode={args.glue or 'nonzero'} "
+        f"mib={args.mib} density={args.density} cap={cap} "
         f"surv={n_surv} offs={args.n_offs} | {dt*1e3:.3f} ms "
         f"= {cyc/n:.4f} cyc/pos  ({(cyc - 0.02*n)/max(n_surv,1):.2f} "
         f"cyc/surv if 0.02/pos base)",

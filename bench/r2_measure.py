@@ -30,6 +30,9 @@ STEPS = [
     ("glue_cal_32_d005",
      [sys.executable, "bench/glue_cal.py", "--mib", "32",
       "--density", "0.005"], 1800),
+    ("glue_cal_32_d04_mxu",
+     [sys.executable, "bench/glue_cal.py", "--mib", "32",
+      "--density", "0.04", "--glue", "mxu"], 1800),
     ("kexp_english_32_nocompact",
      [sys.executable, "bench/kexp.py", "--mib", "32",
       "--compact", "off"], 3600),

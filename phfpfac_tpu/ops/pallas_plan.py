@@ -683,6 +683,47 @@ def _make_planb_kernel(
     return kernel
 
 
+def _glue_mode() -> str:
+    """Survivor-compaction strategy for the glue (A/B knob, read at
+    trace time).  "nonzero" (default): jnp.nonzero = one cumsum over
+    every position — XLA lowers big cumsums to a log-pass associative
+    scan, whose HBM traffic may dominate the glue.  "mxu": in-block
+    survivor ranks via ONE (256,256) triangular matmul per block row
+    (0/1 vectors, sums <= 256: exact in bf16 on the MXU) + a short
+    block-level cumsum — O(1) elementwise passes over the corpus
+    regardless of size."""
+    import os
+
+    return os.environ.get("PHFPFAC_GLUE", "nonzero")
+
+
+def _compact_positions(live, cap: int):
+    """Positions of the first ``cap`` True lanes, ascending, padded
+    with N (the drop sentinel) — both strategies return identical
+    arrays (tests/test_plan.py pins them)."""
+    N = live.shape[0]
+    if _glue_mode() != "mxu":
+        return jnp.nonzero(
+            live, size=cap, fill_value=N
+        )[0].astype(jnp.int32)
+    B = 256
+    assert N % B == 0
+    lv = live.reshape(N // B, B).astype(jnp.bfloat16)
+    incl = jnp.dot(
+        lv, jnp.triu(jnp.ones((B, B), jnp.bfloat16))
+    )  # incl[i, j] = # live lanes <= j in block i (exact: <= 256)
+    counts = incl[:, -1].astype(jnp.int32)
+    starts = jnp.cumsum(counts) - counts  # short scan: N/256 elements
+    dest = starts[:, None] + (incl.astype(jnp.int32)
+                              - lv.astype(jnp.int32))
+    dest = jnp.where(live.reshape(N // B, B), dest, cap + B)
+    return (
+        jnp.full((cap,), N, jnp.int32)
+        .at[dest.reshape(-1)]
+        .set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+    )
+
+
 def _phase_b(
     data2d, surv, packed_banks, side_banks,
     *, steps_b, cb, p0_miss, interpret, grouped, gmode,
@@ -706,7 +747,7 @@ def _phase_b(
     flat = data2d.reshape(-1)
     live = surv != 0
     count = live.sum()
-    pos = jnp.nonzero(live, size=cap, fill_value=N)[0].astype(jnp.int32)
+    pos = _compact_positions(live, cap)
     posc = jnp.minimum(pos, N - 1)
     disp_b = jnp.where(pos < N, surv[posc], 0)
     offs_list = sorted({sp.depth0 - 1 for sp in steps_b})

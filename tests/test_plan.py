@@ -421,3 +421,29 @@ def test_stacked_nibble_empty_step_uniform_dead_zone():
     for s in st.steps:
         if s.kind == "pair" and s.depth0 in deep_nib:
             assert s.s_nibble and s.s_k0 == 1
+
+
+def test_compact_positions_glue_modes_identical(monkeypatch):
+    """Both survivor-compaction strategies (jnp.nonzero cumsum vs the
+    MXU triangular-matmul rank) must return IDENTICAL position arrays
+    — ascending, first-cap-kept on overflow, N-filled tails."""
+    import os
+
+    from phfpfac_tpu.ops.pallas_plan import _compact_positions
+
+    rng = np.random.default_rng(7)
+    for n, density, cap in ((1 << 15, 0.03, 8192), (1 << 15, 0.9, 8192),
+                            (1 << 14, 0.0, 8192)):
+        live = np.asarray(rng.random(n) < density)
+        outs = {}
+        for mode in ("nonzero", "mxu"):
+            monkeypatch.setenv("PHFPFAC_GLUE", mode)
+            outs[mode] = np.asarray(_compact_positions(live, cap))
+        os.environ.pop("PHFPFAC_GLUE", None)
+        np.testing.assert_array_equal(
+            outs["nonzero"], outs["mxu"],
+            err_msg=f"n={n} density={density}",
+        )
+        want = np.flatnonzero(live)[:cap]
+        np.testing.assert_array_equal(outs["nonzero"][:len(want)], want)
+        assert (outs["nonzero"][len(want):] == n).all()
