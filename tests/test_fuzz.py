@@ -59,3 +59,41 @@ def test_engines_match_oracle(seed):
         assert got == want, (
             f"seed {seed} engine {engine}: {len(got)} vs {len(want)}"
         )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_compacted_two_phase(seed):
+    """Differential fuzz of the two-phase compacted plan scan: random
+    dictionaries/corpora, a forced cut at every feasible step index
+    mod the plan length, tiny caps included (exercising the overflow
+    fallback) — always byte-identical to the plain scan."""
+    from phfpfac_tpu.ops.common import pad_input, padded_steps
+    from phfpfac_tpu.ops.pallas_plan import PlanShardScanner
+
+    words, data = _dict_and_corpus(1000 + seed)
+    # corpora above the compaction floor (cap*2 < n_pos needs ~48K+)
+    data = (data * (1 + 98_304 // len(data)))[:98_304]
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    cfg = PfacConfig(width=1024, num_shards=1, truncation="none")
+    compiled = compile_patterns(pats, cfg)
+    sh = compiled.shards[0]
+    ms = padded_steps(compiled.max_pat_len)
+    n = len(data)
+    padded = pad_input(data, 1024, ms)
+    try:
+        plain = PlanShardScanner(sh, interpret=True, train=data[:8192],
+                                 compact="off")
+    except ValueError:
+        pytest.skip("plan engine does not apply to this dictionary")
+    c0, b0 = map(np.asarray, plain.scan(padded, n, cfg, ms))
+    n_steps = len(plain.pt.steps)
+    if n_steps < 2:
+        pytest.skip("single-step plan: nothing to compact")
+    cut = 1 + (seed % (n_steps - 1))
+    cap = 16384 if seed % 3 else 8192  # small caps: overflow path too
+    sc = PlanShardScanner(sh, interpret=True, train=data[:8192],
+                          compact=(cut, cap))
+    c1, b1 = map(np.asarray, sc.scan(padded, n, cfg, ms))
+    np.testing.assert_array_equal(c0[:n], c1[:n])
+    np.testing.assert_array_equal(b0[:n], b1[:n])
+    assert c0[:n].sum() == len(match_oracle(pats, data, cfg))
