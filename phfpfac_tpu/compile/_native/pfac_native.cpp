@@ -545,4 +545,96 @@ int64_t pfac_decode_hits(
   return total;
 }
 
+// Hash-probe bitmap decode: bit t set at position p means
+// data[p..p+t] IS a pattern of this shard (PFAC final at depth t+1
+// along the path <=> the substring equals a pattern), so the decode
+// is one open-addressed lookup per set bit instead of a trie walk —
+// one ~L2-resident table probe vs per-step dense-table cache misses.
+// Table built host-side (compile/native.py): FNV-1a 64 keys, linear
+// probing, slot values = the pattern's FINAL STATE from the real trie
+// walk (so output triples are byte-identical to pfac_decode_hits).
+static inline uint64_t fnv1a(const uint8_t* s, int64_t len) {
+  uint64_t h = 1469598103934665603ULL;
+  for (int64_t i = 0; i < len; ++i) {
+    h = (h ^ s[i]) * 1099511628211ULL;
+  }
+  return h;
+}
+
+int64_t pfac_decode_hits_hash(
+    const uint8_t* data, int64_t n,
+    const int64_t* hit_pos, const uint32_t* hb, int64_t h,
+    const uint8_t* blob, const int64_t* slot_off,
+    const int32_t* slot_len, const int32_t* slot_state,
+    int64_t tsize_log2,
+    int64_t max_t, int64_t n_threads, int64_t* out) {
+  if (h == 0) return 0;
+  if (max_t > 32) max_t = 32;
+  const uint64_t mask = (uint64_t(1) << tsize_log2) - 1;
+
+  auto probe_range = [&](int64_t lo, int64_t hi, int64_t* o) -> int64_t {
+    int64_t* base = o;
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t p = hit_pos[i];
+      uint32_t rem = hb[i];
+      while (rem) {
+        const int t = __builtin_ctz(rem);
+        rem &= rem - 1;
+        if (t >= max_t) break;
+        const int64_t len = t + 1;
+        if (p + len > n) continue;  // defensive: pad bits
+        uint64_t slot = fnv1a(data + p, len) & mask;
+        while (slot_off[slot] >= 0) {
+          if (slot_len[slot] == len &&
+              std::memcmp(blob + slot_off[slot], data + p, len) == 0) {
+            *o++ = p;
+            *o++ = t;
+            *o++ = slot_state[slot];
+            break;
+          }
+          slot = (slot + 1) & mask;
+        }
+      }
+    }
+    return (o - base) / 3;
+  };
+
+  if (n_threads <= 1 || h < (int64_t(1) << 16)) {
+    return probe_range(0, h, out);
+  }
+  std::vector<int64_t> starts(n_threads + 1, 0);
+  std::vector<int64_t> chunk_lo(n_threads + 1, 0);
+  const int64_t per = (h + n_threads - 1) / n_threads;
+  {
+    int64_t acc = 0, i = 0;
+    for (int64_t c = 0; c < n_threads; ++c) {
+      chunk_lo[c] = i;
+      starts[c] = acc;
+      const int64_t hi = std::min(h, i + per);
+      for (; i < hi; ++i) acc += __builtin_popcount(hb[i]);
+    }
+    chunk_lo[n_threads] = h;
+    starts[n_threads] = acc;
+  }
+  std::vector<int64_t> written(n_threads, 0);
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int64_t c = 0; c < n_threads; ++c) {
+    threads.emplace_back([&, c]() {
+      written[c] =
+          probe_range(chunk_lo[c], chunk_lo[c + 1], out + 3 * starts[c]);
+    });
+  }
+  for (auto& t : threads) t.join();
+  int64_t total = written[0];
+  for (int64_t c = 1; c < n_threads; ++c) {
+    if (total != starts[c] && written[c]) {
+      std::memmove(out + 3 * total, out + 3 * starts[c],
+                   sizeof(int64_t) * 3 * written[c]);
+    }
+    total += written[c];
+  }
+  return total;
+}
+
 }  // extern "C"

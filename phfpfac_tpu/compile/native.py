@@ -90,6 +90,15 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int64, ctypes.c_int64,                # ht_size, wb
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ]
+            lib.pfac_decode_hits_hash.restype = ctypes.c_int64
+            lib.pfac_decode_hits_hash.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,               # data, n
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # pos,hb,h
+                ctypes.c_void_p, ctypes.c_void_p,              # blob, off
+                ctypes.c_void_p, ctypes.c_void_p,              # len, state
+                ctypes.c_int64,                                # tsize_log2
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:  # noqa: BLE001 — fall back to NumPy
             _failed = True
@@ -243,6 +252,94 @@ def ffdm_native(table: np.ndarray, width: int, hashtable_max: int = HASHTABLE_MA
             "ht_size": int(stats[3]),
         },
     )
+
+
+_FNV_OFF = 1469598103934665603
+_FNV_PRIME = 1099511628211
+_U64 = (1 << 64) - 1
+
+
+def _pattern_hash(shard):
+    """Open-addressed substring->final-state table for the hash
+    decode, built once per shard and cached on it.
+
+    Bit t at position p means data[p..p+t] IS one of this shard's
+    patterns (a PFAC final at depth t+1 exists along the path iff the
+    substring equals a pattern), so decode needs no trie walk at all —
+    one table probe per set bit.  Slot values are the pattern's final
+    state from a real dense-trie walk, keeping the output triples
+    byte-identical to the walk decode regardless of numbering."""
+    cached = getattr(shard, "_decode_hash", None)
+    if cached is not None:
+        return cached
+    pats = shard.patterns
+    dense = np.asarray(shard.dense_table())
+    s0 = np.asarray(shard.s0)
+    # final state per pattern: vectorized walk, grouped by length
+    n_pats = len(pats)
+    states = np.empty(n_pats, dtype=np.int64)
+    by_len: dict = {}
+    for i, w in enumerate(pats):
+        by_len.setdefault(len(w), []).append(i)
+    for L, idxs in by_len.items():
+        mat = np.frombuffer(
+            b"".join(pats[i] for i in idxs), dtype=np.uint8
+        ).reshape(len(idxs), L)
+        st = s0[mat[:, 0]].astype(np.int64)
+        for t in range(1, L):
+            st = dense[st, mat[:, t]].astype(np.int64)
+        states[idxs] = st
+    tsize = 8
+    while tsize < 2 * n_pats:
+        tsize <<= 1
+    mask = tsize - 1
+    slot_off = np.full(tsize, -1, dtype=np.int64)
+    slot_len = np.zeros(tsize, dtype=np.int32)
+    slot_state = np.zeros(tsize, dtype=np.int32)
+    blob_parts, off = [], 0
+    for i, w in enumerate(pats):
+        h = _FNV_OFF
+        for b in w:
+            h = ((h ^ b) * _FNV_PRIME) & _U64
+        slot = h & mask
+        while slot_off[slot] >= 0:
+            slot = (slot + 1) & mask
+        slot_off[slot] = off
+        slot_len[slot] = len(w)
+        slot_state[slot] = states[i]
+        blob_parts.append(w)
+        off += len(w)
+    blob = np.frombuffer(b"".join(blob_parts), dtype=np.uint8)
+    cached = (blob, slot_off, slot_len, slot_state,
+              int(tsize).bit_length() - 1)
+    shard._decode_hash = cached
+    return cached
+
+
+def decode_hits_hash_native(
+    hb: np.ndarray, hit_pos: np.ndarray, data: np.ndarray, shard,
+    max_t: int, n_threads: int = 0,
+) -> np.ndarray:
+    """Hash-probe bitmap decode (plain-dictionary shards only; see
+    _pattern_hash).  Same contract as decode_hits_native."""
+    lib = _load()
+    assert lib is not None
+    blob, slot_off, slot_len, slot_state, tlog2 = _pattern_hash(shard)
+    hb = np.ascontiguousarray(hb, dtype=np.uint32)
+    hit_pos = np.ascontiguousarray(hit_pos, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    cap = int(np.bitwise_count(hb).sum()) if hb.size else 0
+    out = np.empty(cap * 3, dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    wrote = lib.pfac_decode_hits_hash(
+        data.ctypes.data, len(data),
+        hit_pos.ctypes.data, hb.ctypes.data, len(hb),
+        blob.ctypes.data, slot_off.ctypes.data,
+        slot_len.ctypes.data, slot_state.ctypes.data,
+        tlog2, max_t, n_threads, out.ctypes.data if cap else None,
+    )
+    return out[: wrote * 3].reshape(-1, 3)
 
 
 def decode_hits_native(

@@ -83,13 +83,27 @@ def decode_hits(
         if isinstance(data, (bytes, bytearray))
         else np.asarray(data, dtype=np.uint8)
     )
+    import os
+
     from phfpfac_tpu.compile import native
 
     if native.available():
         # match-dense corpora make this walk the e2e bottleneck; the
-        # threaded C++ path is ~10x the vectorized NumPy walk (the
-        # NumPy code below stays the semantics oracle,
-        # tests/test_native.py::test_decode_hits_native_parity)
+        # threaded C++ paths are the fast lane (the NumPy code below
+        # stays the semantics oracle,
+        # tests/test_native.py::test_decode_hits_native_parity).
+        # Plain dictionaries skip the trie walk entirely: bit t at pos
+        # means data[pos..pos+t] IS a pattern, so decode is ONE
+        # open-addressed hash probe per set bit (L2-resident table)
+        # instead of per-step dense-table cache misses.
+        if (
+            shard.patterns is not None
+            and shard.output_lists is None
+            and os.environ.get("PHFPFAC_NO_HASH_DECODE") != "1"
+        ):
+            return native.decode_hits_hash_native(
+                hb, hit_pos, arr[:input_size], shard, min(max_steps, 32)
+            )
         return native.decode_hits_native(
             hb, hit_pos, arr[:input_size], shard, min(max_steps, 32)
         )

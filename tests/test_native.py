@@ -209,6 +209,11 @@ def test_decode_hits_native_parity():
         want = _numpy_decode(hb, hit_pos, arr, sh, min(ms, 32))
         assert len(got) == int(np.bitwise_count(hb).sum())
         np.testing.assert_array_equal(got, want)
+        # hash-probe decode (no trie walk): identical triples
+        from phfpfac_tpu.compile.native import decode_hits_hash_native
+
+        got_h = decode_hits_hash_native(hb, hit_pos, arr, sh, min(ms, 32))
+        np.testing.assert_array_equal(got_h, want)
 
 
 def _numpy_decode(hb, hit_pos, arr, shard, max_t):
