@@ -110,26 +110,33 @@ def main() -> None:
                     help="single TPU check, no poll loop")
     args = ap.parse_args()
 
+    attempts: dict = {}
     while True:
-        if tpu_up():
-            break
-        print("[r2] TPU down; waiting", flush=True)
-        if args.once:
-            return
-        time.sleep(args.poll_secs)
+        while not tpu_up():
+            print("[r2] TPU down; waiting", flush=True)
+            if args.once:
+                return
+            time.sleep(args.poll_secs)
 
-    print("[r2] TPU UP — running protocol", flush=True)
-    done = done_tags()
-    for tag, argv, timeout in STEPS:
-        if tag in done:
-            print(f"[r2] skip {tag} (already logged)", flush=True)
-            continue
-        ok = run_step(tag, argv, timeout)
-        if not ok and not tpu_up():
-            print("[r2] TPU lost mid-protocol; exiting (rerun me)",
-                  flush=True)
-            return
-    print("[r2] protocol complete", flush=True)
+        print("[r2] TPU UP — running protocol", flush=True)
+        done = done_tags()
+        for tag, argv, timeout in STEPS:
+            if tag in done or attempts.get(tag, 0) >= 3:
+                continue
+            attempts[tag] = attempts.get(tag, 0) + 1
+            ok = run_step(tag, argv, timeout)
+            if not ok and not tpu_up():
+                print("[r2] TPU lost mid-protocol; resuming poll",
+                      flush=True)
+                break
+        else:
+            remaining = [t for t, _, _ in STEPS
+                         if t not in done_tags()
+                         and attempts.get(t, 0) < 3]
+            if not remaining:
+                print("[r2] protocol complete", flush=True)
+                return
+        time.sleep(args.poll_secs)
 
 
 if __name__ == "__main__":
