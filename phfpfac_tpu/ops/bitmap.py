@@ -18,15 +18,72 @@ from phfpfac_tpu.compile.tables import ShardTables
 
 _FETCH_BLOCK = 1024  # positions per sparsity block (n_pos granularity)
 
+# Planes at most this many positions (4 B each) just download whole —
+# below ~2 MB the bulk transfer undercuts the extra count round trip
+# (~40 ms) the compacted path pays.
+_BULK_POSITIONS = 1 << 19
+
+_count_fn = None
+_gather_fns: dict = {}
+
+
+def _device_count(bits_dev, input_size: int) -> int:
+    """Nonzero-position count of bits_dev[:input_size], on device."""
+    import jax
+    import jax.numpy as jnp
+
+    global _count_fn
+    if _count_fn is None:
+
+        def f(b, m):
+            i = jax.lax.iota(jnp.int32, b.shape[0])
+            return jnp.count_nonzero(jnp.where(i < m, b, 0))
+
+        _count_fn = jax.jit(f)
+    return int(_count_fn(bits_dev, jnp.int32(input_size)))
+
+
+def _device_gather(bits_dev, input_size: int, cap: int):
+    """nonzero(size=cap) compaction on device: positions + their bitmaps.
+
+    Fill slots carry index n (past any valid position) so the host can
+    drop them with one compare.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fn = _gather_fns.get(cap)
+    if fn is None:
+
+        def f(b, m):
+            i = jax.lax.iota(jnp.int32, b.shape[0])
+            masked = jnp.where(i < m, b, 0)
+            (idx,) = jnp.nonzero(masked, size=cap,
+                                 fill_value=b.shape[0])
+            vals = masked[jnp.clip(idx, 0, b.shape[0] - 1)]
+            return idx, vals
+
+        fn = _gather_fns[cap] = jax.jit(f)
+    return fn(bits_dev, jnp.int32(input_size))
+
 
 def fetch_hit_bits(bits_dev, input_size: int):
-    """Download only the bitmap blocks that contain hits.
+    """Download only the bitmap entries that contain hits.
 
     The device->host link here is the expensive resource (a tunnel
     with ~40 ms latency and limited bandwidth), and at realistic match
-    densities the per-position bitmap is almost entirely zero.  Two
-    small transfers — a per-block any() mask, then a gather of just
-    the hit blocks — replace the full n_pos*4-byte download.
+    densities the per-position bitmap is almost entirely zero.  Three
+    regimes, cheapest transfer first:
+
+    * clustered/sparse — a per-block any() mask plus a gather of just
+      the hit blocks (two small transfers, no full-plane pass);
+    * spread-out hits (most 1024-blocks touched but few positions) —
+      a device-side count + ``nonzero(size=cap)`` compaction, so the
+      download is O(hits): 8 bytes per hit instead of 4 per position
+      (the reference instead materializes [input_size x max_pat_len]
+      match rows on device, master_kernel.cu:104-115);
+    * truly dense (> half the positions hit) or tiny planes — one bulk
+      download of the plane.
 
     Returns (hit_pos int64[], hit_bits uint32[]).
     """
@@ -35,21 +92,38 @@ def fetch_hit_bits(bits_dev, input_size: int):
     n = bits_dev.shape[0]
     assert n % _FETCH_BLOCK == 0  # scan outputs are TILE-granular
     nb = n // _FETCH_BLOCK
-    blk = bits_dev.reshape(nb, _FETCH_BLOCK)
-    nz = np.asarray(jnp.any(blk != 0, axis=1))
-    idx = np.flatnonzero(nz)
-    if idx.size > max(nb // 4, 1):
-        # dense matches: one bulk download beats many gathers
+
+    def bulk():
         flat = np.asarray(bits_dev).view(np.uint32)
         pos = np.nonzero(flat[:input_size])[0].astype(np.int64)
         return pos, flat[pos]
+
+    blk = bits_dev.reshape(nb, _FETCH_BLOCK)
+    nz = np.asarray(jnp.any(blk != 0, axis=1))
+    idx = np.flatnonzero(nz)
     if idx.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint32)
-    sel = np.asarray(jnp.take(blk, jnp.asarray(idx), axis=0)).view(np.uint32)
-    p, j = np.nonzero(sel)
-    pos = (idx[p] * _FETCH_BLOCK + j).astype(np.int64)
-    keep = pos < input_size
-    return pos[keep], sel[p, j][keep]
+    if idx.size <= max(nb // 4, 1):
+        sel = np.asarray(jnp.take(blk, jnp.asarray(idx), axis=0)).view(
+            np.uint32
+        )
+        p, j = np.nonzero(sel)
+        pos = (idx[p] * _FETCH_BLOCK + j).astype(np.int64)
+        keep = pos < input_size
+        return pos[keep], sel[p, j][keep]
+    if n <= _BULK_POSITIONS:
+        return bulk()
+    cnt = _device_count(bits_dev, input_size)
+    if cnt == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint32)
+    if cnt >= input_size // 2:
+        return bulk()  # 4 B/position beats 8 B/hit past 50% density
+    cap = 1 << (cnt - 1).bit_length()
+    idx_d, vals_d = _device_gather(bits_dev, input_size, cap)
+    pos = np.asarray(idx_d).astype(np.int64)
+    hb = np.asarray(vals_d).view(np.uint32)
+    keep = pos < input_size  # drops the fill slots (index n)
+    return pos[keep], hb[keep]
 
 
 def decode_bitmap(

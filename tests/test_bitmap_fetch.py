@@ -1,0 +1,70 @@
+"""fetch_hit_bits: all three transfer regimes return identical
+(pos, bits) to a naive host-side nonzero over the plane.
+
+The branch taken depends on hit layout (clustered vs spread) and plane
+size; thresholds are monkeypatched so every branch runs at test shapes.
+"""
+
+import numpy as np
+import pytest
+
+from phfpfac_tpu.ops import bitmap
+
+
+def _naive(plane: np.ndarray, input_size: int):
+    flat = plane[:input_size].view(np.uint32)
+    pos = np.nonzero(flat)[0].astype(np.int64)
+    return pos, flat[pos]
+
+
+def _check(plane: np.ndarray, input_size: int):
+    import jax.numpy as jnp
+
+    got_pos, got_bits = bitmap.fetch_hit_bits(
+        jnp.asarray(plane), input_size
+    )
+    want_pos, want_bits = _naive(plane, input_size)
+    np.testing.assert_array_equal(got_pos, want_pos)
+    np.testing.assert_array_equal(got_bits, want_bits)
+
+
+def _plane(n, rng, density, clustered):
+    plane = np.zeros(n, np.int32)
+    k = max(1, int(n * density))
+    if clustered:
+        start = rng.integers(0, n - k)
+        idx = np.arange(start, start + k)
+    else:
+        idx = rng.choice(n, size=k, replace=False)
+    plane[idx] = rng.integers(1, 2**31 - 1, size=k, dtype=np.int32)
+    return plane
+
+
+@pytest.mark.parametrize("clustered", [True, False])
+@pytest.mark.parametrize("density", [0.0005, 0.02, 0.6])
+def test_fetch_regimes(clustered, density, monkeypatch):
+    # force the compacted path to be reachable at small planes
+    monkeypatch.setattr(bitmap, "_BULK_POSITIONS", 1 << 12)
+    rng = np.random.default_rng(int(density * 1e4) + clustered)
+    n = 64 * 1024
+    plane = _plane(n, rng, density, clustered)
+    # input_size below the padded plane: tail hits must be dropped
+    input_size = n - 1500
+    plane[input_size + 3] = 7  # a hit in the padding zone
+    _check(plane, input_size)
+
+
+def test_fetch_empty_and_tiny(monkeypatch):
+    monkeypatch.setattr(bitmap, "_BULK_POSITIONS", 1 << 12)
+    _check(np.zeros(8192, np.int32), 8000)
+    one = np.zeros(8192, np.int32)
+    one[0] = 1
+    one[7999] = 2**30
+    _check(one, 8000)
+
+
+def test_fetch_bulk_small_plane():
+    # below _BULK_POSITIONS the spread case must take the bulk branch
+    rng = np.random.default_rng(0)
+    plane = _plane(16 * 1024, rng, 0.01, clustered=False)
+    _check(plane, 16 * 1024)
