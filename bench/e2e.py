@@ -1,0 +1,143 @@
+"""End-to-end (upload + scan + fetch + decode + merge) benchmark.
+
+The reference's headline metric times only its kernel; its REAL cost
+per buffer includes the H2D copy and the host merge loop
+(main.cc:225-241,303-324).  This harness measures that full path here:
+
+* scan-only  — chained count-mode dispatches (bench.py methodology),
+  the number PERF.md's kernel tables quote;
+* match e2e  — ``Matcher.match``: pad + upload + scan + hit fetch +
+  decode + reference-order merge, wall-clock;
+* chunked e2e — ``Matcher.match_chunked``: the pipelined path where
+  upload/scan of chunk i+1 overlaps fetch/decode of chunk i.
+
+Prints one summary line:  e2e | scan X GB/s | match Y | chunked Z |
+chunked/scan R | matches M.  (VERDICT round-1 item 4 target:
+chunked/scan >= 0.8 at 32 MiB.)
+
+Usage: python bench/e2e.py [--mib 32] [--dict english|xaa|big]
+                           [--chunk-mib 8] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from phfpfac_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import numpy as np
+
+REF = "/root/reference/regex_GPU_PHF"
+
+
+def load_dict(name: str) -> list[bytes]:
+    words: list[bytes] = []
+    if name == "xaa":
+        words = open(f"{REF}/xaa", "rb").read().split()
+    elif name == "english":
+        for part in ("xaa", "xab", "xac", "xad"):
+            words += open(f"{REF}/{part}", "rb").read().split()
+    else:  # big = 156k wikipedia titles
+        words = open(
+            f"{REF}/experiment/bigenglishdic/xaa", "rb"
+        ).read().split(b"\n")
+        words = [w for w in words if w]
+    return list(dict.fromkeys(words))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mib", type=float, default=32)
+    ap.add_argument("--dict", default="english",
+                    choices=["english", "xaa", "big"])
+    ap.add_argument("--chunk-mib", type=float, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from phfpfac_tpu.compile.tables import compile_patterns
+    from phfpfac_tpu.frontend.patterns import Pattern
+    from phfpfac_tpu.ops.common import pad_input, padded_steps
+    from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+    from phfpfac_tpu.parallel.matcher import Matcher
+    from phfpfac_tpu.utils.config import PfacConfig
+
+    interp = jax.default_backend() != "tpu"
+    words = load_dict(args.dict)
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    cfg = PfacConfig(width=4096, num_shards=1, truncation="none",
+                     interpret=interp)
+    compiled = compile_patterns(pats, cfg)
+    shard = compiled.shards[0]
+
+    base = open(f"{REF}/1M", "rb").read()
+    want = int(args.mib * (1 << 20))
+    data = (base * (want // len(base) + 1))[:want]
+    n = len(data)
+    train = data[: 1 << 20]
+
+    # ---- scan-only (chained count dispatches) ----------------------
+    max_steps = padded_steps(compiled.max_pat_len)
+    padded = pad_input(data, 1024, max_steps)
+    scan = plan_count_scanner(shard, max_steps, train=train,
+                              interpret=interp)
+    if hasattr(scan, "prepare"):
+        dev = scan.prepare(padded, n)
+        scan_fn = scan.scan
+    else:
+        dev = jnp.asarray(padded)
+        scan_fn = scan
+    total = int(np.asarray(scan_fn(dev, jnp.int32(n), jnp.int32(0))))
+    K = 4
+    reps = []
+    for _ in range(args.reps):
+        s = jnp.int32(0)
+        t0 = time.perf_counter()
+        for _ in range(K):
+            s = scan_fn(dev, jnp.int32(n), s % 2)
+        _ = int(np.asarray(s))
+        reps.append((time.perf_counter() - t0) / K)
+    t_scan = float(np.median(reps))
+    del dev
+
+    # ---- match e2e (unchunked) --------------------------------------
+    m = Matcher(compiled, cfg, engine="pallas", train=train)
+    got = m.match(data)  # warm: compiles + caches executables
+    n_matches = len(got)
+    reps = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        _ = m.match(data)
+        reps.append(time.perf_counter() - t0)
+    t_match = float(np.median(reps))
+
+    # ---- chunked e2e (pipelined) -------------------------------------
+    chunk = int(args.chunk_mib * (1 << 20))
+    got_c = m.match_chunked(data, chunk_bytes=chunk)
+    assert len(got_c) == n_matches, (len(got_c), n_matches)
+    reps = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        _ = m.match_chunked(data, chunk_bytes=chunk)
+        reps.append(time.perf_counter() - t0)
+    t_chunk = float(np.median(reps))
+
+    gb = n / 1e9
+    print(
+        f"e2e {args.dict} {args.mib}MiB | scan {gb / t_scan:.3f} GB/s | "
+        f"match {gb / t_match:.3f} | chunked {gb / t_chunk:.3f} | "
+        f"chunked/scan {t_scan / t_chunk:.2f} | "
+        f"matches {n_matches} (count {total})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,8 @@ STEPS = [
     ("binary_32_compact",
      [sys.executable, "bench/binary.py", "--mib", "32",
       "--tpc", "16", "--cond-from", "2"], 3600),
+    ("e2e_english_32",
+     [sys.executable, "bench/e2e.py", "--mib", "32"], 5400),
     ("kexp_big_8_nocompact",
      [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "8",
       "--compact", "off"], 5400),

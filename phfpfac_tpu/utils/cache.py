@@ -24,13 +24,31 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 _enabled = False
 
 
+def honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS`` effective under the site hook.
+
+    This rig's site hook pre-registers the TPU plugin, which overrides
+    the ``JAX_PLATFORMS`` environment variable; re-applying the value
+    through ``jax.config`` wins (a stalled TPU tunnel otherwise hangs
+    CPU-only runs at backend init).  No-op when the variable is unset.
+    """
+    v = os.environ.get("JAX_PLATFORMS")
+    if v:
+        import jax
+
+        jax.config.update("jax_platforms", v)
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX's compilation cache at an on-disk directory.
 
     Idempotent; returns the cache dir (or None when disabled by env).
-    Safe to call before or after backend initialization.
+    Safe to call before or after backend initialization.  Also applies
+    ``honor_platform_env`` so every entry point that enables the cache
+    (CLI, bench harnesses, the driver hooks) respects ``JAX_PLATFORMS``.
     """
     global _enabled
+    honor_platform_env()
     if os.environ.get("PHFPFAC_NO_COMPILE_CACHE"):
         return None
     path = (
