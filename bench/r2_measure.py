@@ -49,8 +49,15 @@ STEPS = [
     ("kexp_big_8_compact",
      [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "8"],
      5400),
+    ("coldstart_big_8",
+     [sys.executable, "bench/coldstart.py", "--dict", "big",
+      "--mib", "8"], 7200),
     ("bench_headline_128",
      [sys.executable, "bench.py"], 5400),
+    # the VERDICT item-1 target regime (kept last: ~25 min compile)
+    ("kexp_big_32_compact",
+     [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "32"],
+     7200),
 ]
 
 

@@ -919,6 +919,18 @@ def _plan_scan_count(
     return partial.sum()
 
 
+def _eager_if(interpret: bool):
+    """Interpret-mode scans run EAGERLY (jax.disable_jit): jitting the
+    interpreter means XLA compiles the kernel's giant unrolled HLO —
+    minutes of CPU compile per table geometry, and wide plans have
+    crashed the compiler outright (libgcc unwind segfault = stack
+    exhaustion).  Eager execution of the same ops is robust and, for
+    the one-shot shapes tests use, faster.  Real-TPU scans keep jit."""
+    import contextlib
+
+    return jax.disable_jit() if interpret else contextlib.nullcontext()
+
+
 class PlanShardScanner:
     """Bitmap-mode hybrid-stride scanner for one shard (exact mode)."""
 
@@ -972,14 +984,15 @@ class PlanShardScanner:
 
     def _scan_async(self, data2d, seg, halo):
         def plain():
-            return _plan_scan_bitmap(
-                data2d, jnp.zeros(1, jnp.int32),
-                jnp.asarray(self.pt.p0_banks),
-                jnp.asarray(self.pt.packed_banks),
-                jnp.asarray(self.pt.side_banks),
-                seg_bytes=seg, halo_bytes=halo,
-                **self._statics(),
-            )
+            with _eager_if(self.interpret):
+                return _plan_scan_bitmap(
+                    data2d, jnp.zeros(1, jnp.int32),
+                    jnp.asarray(self.pt.p0_banks),
+                    jnp.asarray(self.pt.packed_banks),
+                    jnp.asarray(self.pt.side_banks),
+                    seg_bytes=seg, halo_bytes=halo,
+                    **self._statics(),
+                )
 
         n_pos = data2d.shape[0] * _LANE - TILE
         cc = resolve_compact(self.pt, n_pos, self.compact)
@@ -987,14 +1000,15 @@ class PlanShardScanner:
             cnt, bits = plain()
             return cnt, bits, lambda: (cnt, bits)
         cut, cap = cc
-        cnt, bits, count = _plan_scan_bitmap_compact(
-            data2d, jnp.zeros(1, jnp.int32),
-            jnp.asarray(self.pt.p0_banks),
-            jnp.asarray(self.pt.packed_banks),
-            jnp.asarray(self.pt.side_banks),
-            seg_bytes=seg, halo_bytes=halo, cut=cut, cap=cap,
-            **self._statics(),
-        )
+        with _eager_if(self.interpret):
+            cnt, bits, count = _plan_scan_bitmap_compact(
+                data2d, jnp.zeros(1, jnp.int32),
+                jnp.asarray(self.pt.p0_banks),
+                jnp.asarray(self.pt.packed_banks),
+                jnp.asarray(self.pt.side_banks),
+                seg_bytes=seg, halo_bytes=halo, cut=cut, cap=cap,
+                **self._statics(),
+            )
 
         def verify(cnt=cnt, bits=bits):
             if int(count) <= cap:
@@ -1048,17 +1062,20 @@ class PlanCountScan:
         cc = resolve_compact(pt, n_pos, self.compact)
         if cc is not None:
             cut, cap = cc
-            total, count = _plan_scan_count_compact(
-                staged, jnp.asarray(shift, jnp.int32),
-                self._p0, self._m, self._s, cut=cut, cap=cap, **statics,
-            )
+            with _eager_if(self.interpret):
+                total, count = _plan_scan_count_compact(
+                    staged, jnp.asarray(shift, jnp.int32),
+                    self._p0, self._m, self._s, cut=cut, cap=cap,
+                    **statics,
+                )
             self._surv_counts.append(count)
             self._surv_caps.append(cap)
             return total
-        return _plan_scan_count(
-            staged, jnp.asarray(shift, jnp.int32),
-            self._p0, self._m, self._s, **statics,
-        )
+        with _eager_if(self.interpret):
+            return _plan_scan_count(
+                staged, jnp.asarray(shift, jnp.int32),
+                self._p0, self._m, self._s, **statics,
+            )
 
     def check_overflow(self) -> bool:
         """True if ANY compacted scan since the last check overflowed

@@ -71,8 +71,8 @@ def test_fuzz_compacted_two_phase(seed):
     from phfpfac_tpu.ops.pallas_plan import PlanShardScanner
 
     words, data = _dict_and_corpus(1000 + seed)
-    # corpora above the compaction floor (cap*2 < n_pos needs ~48K+)
-    data = (data * (1 + 98_304 // len(data)))[:98_304]
+    # above the compaction floor (cap*2 < n_pos: 49_152 > 2*16_384)
+    data = (data * (1 + 49_152 // len(data)))[:49_152]
     pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
     cfg = PfacConfig(width=1024, num_shards=1, truncation="none")
     compiled = compile_patterns(pats, cfg)
