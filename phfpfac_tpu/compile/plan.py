@@ -127,6 +127,51 @@ class PlanTables:
     live_frac: tuple = ()
 
 
+# ---- serialization (table-format v3 payload) ----------------------------
+# The reference bakes its tables once and reuses them every run
+# (create_PFAC_table_reorder + nvcc-compiled kernel); saving the built
+# plan alongside the compiled dictionary gives a fresh process the
+# same property — start-to-first-byte skips the trie + plan build.
+
+def plan_tables_arrays(pt: PlanTables, prefix: str) -> tuple[dict, dict]:
+    """(arrays, meta) for embedding one shard's plan in an .npz."""
+    arrays = {
+        f"{prefix}code_of": pt.code_of,
+        f"{prefix}p0_banks": pt.p0_banks,
+        f"{prefix}packed_banks": pt.packed_banks,
+        f"{prefix}side_banks": pt.side_banks,
+    }
+    meta = {
+        "code_bits": pt.code_bits,
+        "p0_mode": pt.p0_mode,
+        "p0_miss": pt.p0_miss,
+        "max_pat_len": pt.max_pat_len,
+        "trained": pt.trained,
+        "steps": [vars(s).copy() for s in pt.steps],
+        "kinds": [list(k) for k in pt.kinds],
+        "live_frac": list(pt.live_frac),
+    }
+    return arrays, meta
+
+
+def plan_tables_from(z, prefix: str, meta: dict) -> PlanTables:
+    """Rebuild a PlanTables from ``plan_tables_arrays`` output."""
+    return PlanTables(
+        code_of=z[f"{prefix}code_of"],
+        code_bits=int(meta["code_bits"]),
+        p0_mode=meta["p0_mode"],
+        p0_banks=z[f"{prefix}p0_banks"],
+        packed_banks=z[f"{prefix}packed_banks"],
+        side_banks=z[f"{prefix}side_banks"],
+        steps=tuple(StepSpec(**s) for s in meta["steps"]),
+        p0_miss=int(meta["p0_miss"]),
+        max_pat_len=int(meta["max_pat_len"]),
+        trained=bool(meta["trained"]),
+        kinds=tuple(tuple(k) for k in meta["kinds"]),
+        live_frac=tuple(meta["live_frac"]),
+    )
+
+
 def build_plan_tables(
     shard: ShardTables, *, minimize: bool = True,
     train: bytes | np.ndarray | None = None,

@@ -164,6 +164,10 @@ class CompiledDictionary:
     max_pat_len: int  # max over shards (main.cc merge uses it, :304)
     num_patterns: int
     width: int
+    # built plan tables per shard (None entries = shard has none) —
+    # populated by Matcher.built_plan_tables() after a scan, serialized
+    # as format v3 so a fresh process skips the trie + plan build
+    plan_tables: list | None = None
 
     @property
     def num_shards(self) -> int:
@@ -178,13 +182,19 @@ class CompiledDictionary:
         A shard whose PHF was never built (lazy — the fast engines
         don't touch it) is saved WITHOUT it; load restores the same
         lazy state, and the trie rebuilds from the stored patterns on
-        demand.  Version 2 of the format; version-1 files (PHF always
-        present) load unchanged.
+        demand.  Version 3 adds optional per-shard built plan tables
+        (``self.plan_tables``, see Matcher.built_plan_tables) so a
+        fresh process skips the trie + plan build; files without them
+        stay version 2, and version-1 files (PHF always present) load
+        unchanged.
         """
         path = Path(path)
         arrays: dict[str, np.ndarray] = {}
+        has_plan = self.plan_tables is not None and any(
+            p is not None for p in self.plan_tables
+        )
         meta = {
-            "version": 2,
+            "version": 3 if has_plan else 2,
             "max_pat_len": self.max_pat_len,
             "num_patterns": self.num_patterns,
             "width": self.width,
@@ -215,6 +225,14 @@ class CompiledDictionary:
                 offs = np.cumsum([0] + [len(p) for p in sh.patterns])
                 arrays[f"shard{i}_patblob"] = np.frombuffer(blob, dtype=np.uint8).copy()
                 arrays[f"shard{i}_patoffs"] = offs.astype(np.int64)
+            if has_plan and self.plan_tables[i] is not None:
+                from phfpfac_tpu.compile.plan import plan_tables_arrays
+
+                p_arr, p_meta = plan_tables_arrays(
+                    self.plan_tables[i], f"shard{i}_plan_"
+                )
+                arrays.update(p_arr)
+                meta["shards"][-1]["plan"] = p_meta
         arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode("utf-8"), dtype=np.uint8
         )
@@ -225,7 +243,16 @@ class CompiledDictionary:
         with np.load(path) as z:
             meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
             shards = []
+            plan_tables: list = []
             for i, m in enumerate(meta["shards"]):
+                if "plan" in m:
+                    from phfpfac_tpu.compile.plan import plan_tables_from
+
+                    plan_tables.append(
+                        plan_tables_from(z, f"shard{i}_plan_", m["plan"])
+                    )
+                else:
+                    plan_tables.append(None)
                 has_phf = m.get("has_phf", True)  # v1 always had it
                 shards.append(
                     ShardTables(
@@ -262,6 +289,10 @@ class CompiledDictionary:
             max_pat_len=meta["max_pat_len"],
             num_patterns=meta["num_patterns"],
             width=meta["width"],
+            plan_tables=(
+                plan_tables if any(p is not None for p in plan_tables)
+                else None
+            ),
         )
 
 

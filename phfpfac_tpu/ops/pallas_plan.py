@@ -936,8 +936,12 @@ class PlanShardScanner:
 
     def __init__(self, shard: ShardTables, *, interpret: bool = False,
                  tpc: int = 32, cond_from="auto", train=None,
-                 compact="auto"):
-        self.pt: PlanTables = build_plan_tables(shard, train=train)
+                 compact="auto", pt=None):
+        # ``pt``: a previously built (possibly deserialized, format v3)
+        # PlanTables — skips the trie + plan build entirely
+        self.pt: PlanTables = (
+            pt if pt is not None else build_plan_tables(shard, train=train)
+        )
         self.shard = shard
         self.interpret = interpret
         self.tpc = tpc

@@ -181,7 +181,7 @@ class Matcher:
             rows.append(out)
         return rows
 
-    def _shard_scanner_one(self, shard):
+    def _shard_scanner_one(self, shard, pt=None):
         """Fastest applicable bitmap scanner for ONE shard, or None.
 
         Preference: cost-planned hybrid-stride kernel (alphabet <=
@@ -217,6 +217,8 @@ class Matcher:
                 kw = {}
                 if cls_name == "PlanShardScanner":
                     kw["train"] = self._train
+                    if pt is not None:
+                        kw["pt"] = pt  # deserialized v3 plan: no build
                 return scanner_cls(
                     shard, interpret=self.config.interpret, **kw
                 )
@@ -291,8 +293,11 @@ class Matcher:
         engine for the whole shard)."""
         if self._pallas_scanner is None:
             per_shard = []
-            for sh in self.compiled.shards:
-                ds = self._shard_scanner_one(sh)
+            saved = self.compiled.plan_tables
+            for i, sh in enumerate(self.compiled.shards):
+                ds = self._shard_scanner_one(
+                    sh, pt=saved[i] if saved else None
+                )
                 if ds is None:
                     parts = self._split_long_shard(sh)
                     per_shard.append(
@@ -572,3 +577,19 @@ class Matcher:
     def match_to_text(self, data: bytes, *, input_size: int | None = None) -> str:
         """GPU_match_result.txt-identical text."""
         return render_result_file(self.match(data, input_size=input_size))
+
+    def built_plan_tables(self) -> list:
+        """Per-shard built PlanTables (None where another engine won).
+
+        Assign to ``compiled.plan_tables`` before ``compiled.save`` to
+        write format v3 — a fresh process then skips the trie + plan
+        build (bench/coldstart.py measures the saving)."""
+        from phfpfac_tpu.ops.pallas_plan import PlanShardScanner
+
+        kind, per_shard = self._get_pallas_scanner()
+        if kind != "depth":
+            return [None] * len(self.compiled.shards)
+        return [
+            s.pt if isinstance(s, PlanShardScanner) else None
+            for s in per_shard
+        ]

@@ -199,3 +199,42 @@ def test_save_load_lazy_phf_roundtrip(tmp_path):
     again = CompiledDictionary.load(path)
     assert again.shards[0].has_phf
     assert again.shards[0].ht_size == compiled.shards[0].ht_size
+
+
+def test_save_load_plan_tables_v3(tmp_path):
+    """Format v3: built plan tables round-trip, the loaded Matcher uses
+    them without rebuilding (build_plan_tables not called), and match
+    output is identical."""
+    from unittest import mock
+
+    from phfpfac_tpu.compile.tables import CompiledDictionary, compile_patterns
+    from phfpfac_tpu.parallel.matcher import Matcher
+    from phfpfac_tpu.utils.config import PfacConfig
+
+    pats = [Pattern(i + 1, w) for i, w in enumerate(
+        [b"the", b"then", b"there", b"cat", b"dog", b"do"])]
+    cfg = PfacConfig(width=256, num_shards=1, truncation="none",
+                     interpret=True)
+    compiled = compile_patterns(pats, cfg)
+    data = b"the cat and the dog went there and then did " * 30
+    m = Matcher(compiled, cfg, engine="pallas", train=data[:256])
+    want = m.match(data).tolist()
+    compiled.plan_tables = m.built_plan_tables()
+    assert compiled.plan_tables[0] is not None
+    path = tmp_path / "tables_v3.npz"
+    compiled.save(path)
+
+    loaded = CompiledDictionary.load(path)
+    pt = loaded.plan_tables[0]
+    orig = compiled.plan_tables[0]
+    assert pt.steps == orig.steps  # StepSpec tuples round-trip exactly
+    assert pt.kinds == orig.kinds
+    assert pt.live_frac == orig.live_frac
+    np.testing.assert_array_equal(pt.packed_banks, orig.packed_banks)
+    with mock.patch(
+        "phfpfac_tpu.ops.pallas_plan.build_plan_tables",
+        side_effect=AssertionError("v3 load must not rebuild plan"),
+    ):
+        m2 = Matcher(loaded, cfg, engine="pallas")
+        got = m2.match(data).tolist()
+    assert got == want
