@@ -74,13 +74,18 @@ C_GLUE_PER_SURV = 1.5   # tail-gather + scatter line traffic / survivor
 def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
              growth: int = 3, floor: int = GROUP_FLOOR, gmode: str = "capped",
              ggeom: str = "hot", verbose: bool = True,
-             compact_at: int = 0, compact_tpc: int = 8):
+             compact_at: int = 0, compact_tpc: int = 8,
+             compact_at2: int = 0):
     """Returns (pred_gbps, vops_total, per_step_ledger).
 
     compact_at > 0 models the two-phase compacted scan: phase A runs
     steps [0, compact_at) over every position, then live walkers are
     compacted (survivor positions + disps) and phase B runs the
-    remaining steps over dense survivor tiles only."""
+    remaining steps over dense survivor tiles only.  compact_at2 >
+    compact_at models a THREE-phase scan: a second compaction at that
+    step (its nonzero runs over the first cap's plane, not the
+    corpus), letting the first cut sit early (~15-25% live) without
+    dragging every deep step along at that density."""
     code_of = np.asarray(pt.code_of, np.int32)
     cb = pt.code_bits
     cbm = (1 << cb) - 1
@@ -272,8 +277,21 @@ def simulate(pt, data: bytes, *, tpc: int, cond_from: int,
         glue_v = C_GLUE_PER_POS * n + C_GLUE_PER_SURV * surv
         vops += glue_v
         ledger.append((f"glue(surv={surv})", glue_v, surv / n, 0.0, 0.0))
-        run_steps(disp[alive_idx], alive_idx, cut, n_steps,
-                  compact_tpc, 0, tag="B:")
+        cut2 = (
+            min(compact_at2, n_steps)
+            if cut < compact_at2 < n_steps else n_steps
+        )
+        disp_b = run_steps(disp[alive_idx], alive_idx, cut, cut2,
+                           compact_tpc, 0, tag="B:")
+        if cut2 < n_steps:
+            alive2 = np.nonzero(disp_b != miss)[0]
+            surv2 = len(alive2)
+            glue2_v = C_GLUE_PER_POS * surv + C_GLUE_PER_SURV * surv2
+            vops += glue2_v
+            ledger.append((f"glue2(surv={surv2})", glue2_v,
+                           surv2 / n, 0.0, 0.0))
+            run_steps(disp_b[alive2], alive_idx[alive2], cut2, n_steps,
+                      compact_tpc, 0, tag="B2:")
     cycles = vops
     t = cycles / VOP_RATE
     gbps = n / t / 1e9
@@ -348,8 +366,14 @@ def main():
     ap.add_argument("--compact-at", type=int, default=0,
                     help="model the two-phase compacted scan with the "
                          "cut before step N (0 = off)")
+    ap.add_argument("--compact-at2", type=int, default=0,
+                    help="second compaction cut (three-phase scan; "
+                         "must exceed --compact-at)")
     ap.add_argument("--compact-sweep", action="store_true",
                     help="sweep the compaction cut over every step")
+    ap.add_argument("--compact-sweep2", action="store_true",
+                    help="sweep (cut1, cut2) pairs of the three-phase "
+                         "scan")
     ap.add_argument("--plan", default=None,
                     help="forced step kinds from depth 1, e.g. 'mmmpppp' "
                          "(m = mono/1 depth, p = pair/2 depths); padded "
@@ -394,9 +418,25 @@ def main():
             surv = next(e for n_, *e in led if n_.startswith("glue"))[1]
             print(f"  cut={cut:2d}  {g:.3f} GB/s  surv={surv:.5f}")
         return
+    if args.compact_sweep2:
+        ns = len(pt.steps)
+        best = (0.0, None)
+        for cut1 in range(1, ns - 1):
+            for cut2 in range(cut1 + 1, ns):
+                g, _, _ = simulate(
+                    pt, data, tpc=args.tpc, cond_from=args.cond_from,
+                    growth=args.growth, floor=args.floor,
+                    gmode=args.gmode, ggeom=args.ggeom, verbose=False,
+                    compact_at=cut1, compact_at2=cut2)
+                if g > best[0]:
+                    best = (g, (cut1, cut2))
+                print(f"  cut=({cut1:2d},{cut2:2d})  {g:.3f} GB/s")
+        print(f"  best {best[1]} -> {best[0]:.3f} GB/s")
+        return
     simulate(pt, data, tpc=args.tpc, cond_from=args.cond_from,
              growth=args.growth, floor=args.floor, gmode=args.gmode,
-             ggeom=args.ggeom, compact_at=args.compact_at)
+             ggeom=args.ggeom, compact_at=args.compact_at,
+             compact_at2=args.compact_at2)
 
 
 if __name__ == "__main__":

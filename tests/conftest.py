@@ -39,6 +39,12 @@ enable_persistent_cache()
 REFERENCE = pathlib.Path("/root/reference/regex_GPU_PHF")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process harness etc)"
+    )
+
+
 @pytest.fixture(scope="session")
 def reference_dir() -> pathlib.Path:
     if not REFERENCE.exists():
