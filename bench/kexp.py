@@ -33,7 +33,14 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--compact", default="auto",
                     help='"auto", "off", a cut step, or "cut,cap"')
+    ap.add_argument("--glue", default=None, choices=["nonzero", "mxu"],
+                    help="survivor-compaction glue strategy A/B "
+                         "(PHFPFAC_GLUE)")
     args = ap.parse_args()
+    if args.glue:
+        import os
+
+        os.environ["PHFPFAC_GLUE"] = args.glue
 
     import jax.numpy as jnp
 
@@ -103,7 +110,9 @@ def main() -> None:
     assert not scan.check_overflow(), "survivor cap overflow — retune"
     print(
         f"[kexp] dict={args.dict} mib={args.mib} trained={not args.untrained} "
-        f"tpc={args.tpc} cf={args.cond_from} | {n/dt/1e9:.3f} GB/s "
+        f"tpc={args.tpc} cf={args.cond_from}"
+        + (f" glue={args.glue}" if args.glue else "")
+        + f" | {n/dt/1e9:.3f} GB/s "
         f"({dt*1e3:.2f} ms) matches={total} "
         f"build={t_build:.1f}s compile={t_compile:.1f}s",
         flush=True,

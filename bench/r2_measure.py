@@ -38,6 +38,9 @@ STEPS = [
       "--compact", "off"], 3600),
     ("kexp_english_32_compact",
      [sys.executable, "bench/kexp.py", "--mib", "32"], 3600),
+    ("kexp_english_32_compact_mxu",
+     [sys.executable, "bench/kexp.py", "--mib", "32",
+      "--glue", "mxu"], 3600),
     ("binary_32_compact",
      [sys.executable, "bench/binary.py", "--mib", "32",
       "--tpc", "16", "--cond-from", "2"], 3600),
@@ -118,6 +121,10 @@ def main() -> None:
     ap.add_argument("--once", action="store_true",
                     help="single TPU check, no poll loop")
     args = ap.parse_args()
+    # pid file so restarts can kill the EXACT previous instance
+    # (pattern kills are forbidden and match shell wrappers anyway)
+    with open("/tmp/r2_measure.pid", "w") as f:
+        f.write(str(os.getpid()))
 
     attempts: dict = {}
     while True:
