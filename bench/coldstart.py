@@ -25,26 +25,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-REF = "/root/reference/regex_GPU_PHF"
+from corpora import corpus, load_words
+
 SAVE = "/tmp/phfpfac_coldstart_{name}.npz"
-
-
-def load_words(name: str) -> list[bytes]:
-    if name == "big":
-        words = open(
-            f"{REF}/experiment/bigenglishdic/xaa", "rb"
-        ).read().split(b"\n")
-        return [w for w in dict.fromkeys(words) if w]
-    words: list[bytes] = []
-    for part in ("xaa", "xab", "xac", "xad"):
-        words += open(f"{REF}/{part}", "rb").read().split()
-    return list(dict.fromkeys(words))
-
-
-def corpus(mib: float) -> bytes:
-    base = open(f"{REF}/1M", "rb").read()
-    want = int(mib * (1 << 20))
-    return (base * (want // len(base) + 1))[:want]
 
 
 def timed_run(name: str, mib: float) -> None:

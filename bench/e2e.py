@@ -33,22 +33,7 @@ enable_persistent_cache()
 
 import numpy as np
 
-REF = "/root/reference/regex_GPU_PHF"
-
-
-def load_dict(name: str) -> list[bytes]:
-    words: list[bytes] = []
-    if name == "xaa":
-        words = open(f"{REF}/xaa", "rb").read().split()
-    elif name == "english":
-        for part in ("xaa", "xab", "xac", "xad"):
-            words += open(f"{REF}/{part}", "rb").read().split()
-    else:  # big = 156k wikipedia titles
-        words = open(
-            f"{REF}/experiment/bigenglishdic/xaa", "rb"
-        ).read().split(b"\n")
-        words = [w for w in words if w]
-    return list(dict.fromkeys(words))
+from corpora import corpus, load_words
 
 
 def main() -> None:
@@ -71,16 +56,14 @@ def main() -> None:
     from phfpfac_tpu.utils.config import PfacConfig
 
     interp = jax.default_backend() != "tpu"
-    words = load_dict(args.dict)
+    words = load_words(args.dict)
     pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
     cfg = PfacConfig(width=4096, num_shards=1, truncation="none",
                      interpret=interp)
     compiled = compile_patterns(pats, cfg)
     shard = compiled.shards[0]
 
-    base = open(f"{REF}/1M", "rb").read()
-    want = int(args.mib * (1 << 20))
-    data = (base * (want // len(base) + 1))[:want]
+    data = corpus(args.mib)
     n = len(data)
     train = data[: 1 << 20]
 
@@ -89,12 +72,8 @@ def main() -> None:
     padded = pad_input(data, 1024, max_steps)
     scan = plan_count_scanner(shard, max_steps, train=train,
                               interpret=interp)
-    if hasattr(scan, "prepare"):
-        dev = scan.prepare(padded, n)
-        scan_fn = scan.scan
-    else:
-        dev = jnp.asarray(padded)
-        scan_fn = scan
+    dev = scan.prepare(padded, n)
+    scan_fn = scan.scan
     total = int(np.asarray(scan_fn(dev, jnp.int32(n), jnp.int32(0))))
     K = 4
     reps = []

@@ -50,30 +50,20 @@ def main() -> None:
     from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
     from phfpfac_tpu.utils.config import PfacConfig
 
-    words: list[bytes] = []
-    if args.dict == "xaa":
-        words = open("/root/reference/regex_GPU_PHF/xaa", "rb").read().split()
-    elif args.dict == "english":
-        for part in ("xaa", "xab", "xac", "xad"):
-            words += open(
-                f"/root/reference/regex_GPU_PHF/{part}", "rb"
-            ).read().split()
-    else:
-        # "big" = the 156k-title Snort-scale dict (bigenglishdic/xaa alone,
-        # matching PERF.md's round-1 numbers); "full" = all 466k titles.
-        parts = ("xaa",) if args.dict == "big" else ("xaa", "xab", "xac")
-        for part in parts:
-            words += open(
-                f"/root/reference/regex_GPU_PHF/experiment/bigenglishdic/{part}",
-                "rb",
-            ).read().split(b"\n")
-        words = [w for w in words if 0 < len(w) <= 32]
-    pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
+    from corpora import corpus, load_words
+
+    # "big" = the 156k-title Snort-scale dict (bigenglishdic/xaa alone,
+    # matching PERF.md's round-1 numbers); "full" = all 466k titles —
+    # both capped at the 32-step bitmap (single-kernel protocol).
+    words = load_words(
+        args.dict, cap32=args.dict in ("big", "full")
+    )
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
     cfg = PfacConfig(width=4096, num_shards=1)
     compiled = compile_patterns(pats, cfg)
     shard = compiled.shards[0]
 
-    data = open("/root/reference/regex_GPU_PHF/1M", "rb").read() * args.mib
+    data = corpus(args.mib)
     n = len(data)
     max_steps = padded_steps(compiled.max_pat_len)
     padded = pad_input(data, 1024, max_steps)

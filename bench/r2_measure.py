@@ -126,7 +126,12 @@ def main() -> None:
     with open("/tmp/r2_measure.pid", "w") as f:
         f.write(str(os.getpid()))
 
-    attempts: dict = {}
+    fails: dict = {}  # genuine failures (TPU stayed up), cap 3
+    flaps: dict = {}  # tunnel-flap casualties, cap 8 (retried freely)
+
+    def spent(tag: str) -> bool:
+        return fails.get(tag, 0) >= 3 or flaps.get(tag, 0) >= 8
+
     while True:
         while not tpu_up():
             print("[r2] TPU down; waiting", flush=True)
@@ -137,20 +142,27 @@ def main() -> None:
         print("[r2] TPU UP — running protocol", flush=True)
         done = done_tags()
         for tag, argv, timeout in STEPS:
-            if tag in done or attempts.get(tag, 0) >= 3:
+            if tag in done or spent(tag):
                 continue
-            attempts[tag] = attempts.get(tag, 0) + 1
             ok = run_step(tag, argv, timeout)
-            if not ok and not tpu_up():
-                print("[r2] TPU lost mid-protocol; resuming poll",
-                      flush=True)
-                break
+            if not ok:
+                if tpu_up():
+                    fails[tag] = fails.get(tag, 0) + 1
+                else:
+                    # the flap ate this step, not the step's fault —
+                    # don't burn its failure budget (done_tags also
+                    # retries FAILED/TIMEOUT lines on rerun)
+                    flaps[tag] = flaps.get(tag, 0) + 1
+                    print("[r2] TPU lost mid-protocol; resuming poll",
+                          flush=True)
+                    break
         else:
             remaining = [t for t, _, _ in STEPS
-                         if t not in done_tags()
-                         and attempts.get(t, 0) < 3]
-            if not remaining:
-                print("[r2] protocol complete", flush=True)
+                         if t not in done_tags() and not spent(t)]
+            if not remaining or args.once:
+                print("[r2] protocol complete"
+                      + (f" ({len(remaining)} unfinished)"
+                         if remaining else ""), flush=True)
                 return
         time.sleep(args.poll_secs)
 

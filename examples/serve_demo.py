@@ -28,14 +28,11 @@ CORPUS = sys.argv[2] if len(sys.argv) > 2 else (
 
 
 def main() -> None:
-    import os
-
     import jax
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # a site hook may pre-register the TPU plugin, overriding the
-        # env var (see CLAUDE.md); the config update wins
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from phfpfac_tpu.utils.cache import honor_platform_env
+
+    honor_platform_env()
 
     cfg = PfacConfig(
         width=4096, num_shards=1, truncation="none",

@@ -80,15 +80,7 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from phfpfac_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache()
-    # honor JAX_PLATFORMS even when an interpreter-level site hook
-    # pre-registered a TPU plugin (jax.config wins over the env)
-    import os
-
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    enable_persistent_cache()  # also applies honor_platform_env
     if args.num_processes > 1:
         from phfpfac_tpu.parallel.distributed import initialize
 
@@ -128,15 +120,16 @@ def main(argv: list[str] | None = None) -> int:
                 args.pattern_file, cfg, escapes=args.escapes,
                 verbose=not args.quiet,
             )
-    # pallas single-host runs defer the save to AFTER the scan so the
-    # built plan tables ride along (format v3: a later --load-tables
-    # run skips the trie + plan build, bench/coldstart.py)
-    save_deferred = (
+    # save immediately (a failed scan must not cost the compile), then
+    # pallas single-host runs RE-save after the scan so the built plan
+    # tables ride along (format v3: a later --load-tables run skips
+    # the trie + plan build, bench/coldstart.py)
+    if args.save_tables:
+        compiled.save(args.save_tables)
+    resave_with_plan = (
         args.save_tables and args.engine == "pallas"
         and not (args.num_processes > 1 or args.mesh)
     )
-    if args.save_tables and not save_deferred:
-        compiled.save(args.save_tables)
 
     for i, sh in enumerate(compiled.shards):
         if not args.quiet:
@@ -182,9 +175,14 @@ def main(argv: list[str] | None = None) -> int:
             text = render_result_file(
                 matcher.match_chunked(data, input_size=input_size)
             )
-        if save_deferred:
-            compiled.plan_tables = matcher.built_plan_tables()
-            compiled.save(args.save_tables)
+        if resave_with_plan:
+            try:
+                plan = matcher.built_plan_tables()
+            except Exception:  # noqa: BLE001 — scanner construction
+                plan = None  # may raise where the scan fell back
+            if plan and any(p is not None for p in plan):
+                compiled.plan_tables = plan
+                compiled.save(args.save_tables)
         write_out = True
 
     if write_out:
