@@ -96,8 +96,11 @@ def main() -> None:
     dt = float(np.median(reps))
     n_surv = int(count)
     cyc = dt * CLOCK
+    import os
+
+    mode = os.environ.get("PHFPFAC_GLUE", "nonzero")  # effective, not flag
     print(
-        f"[glue] mode={args.glue or 'nonzero'} "
+        f"[glue] mode={mode} "
         f"mib={args.mib} density={args.density} cap={cap} "
         f"surv={n_surv} offs={args.n_offs} | {dt*1e3:.3f} ms "
         f"= {cyc/n:.4f} cyc/pos  ({(cyc - 0.02*n)/max(n_surv,1):.2f} "

@@ -98,10 +98,13 @@ def main() -> None:
         reps.append((time.perf_counter() - t0) / K)
     dt = float(np.median(reps))
     assert not scan.check_overflow(), "survivor cap overflow — retune"
+    import os
+
+    glue_env = os.environ.get("PHFPFAC_GLUE")  # effective, not the flag
     print(
         f"[kexp] dict={args.dict} mib={args.mib} trained={not args.untrained} "
         f"tpc={args.tpc} cf={args.cond_from}"
-        + (f" glue={args.glue}" if args.glue else "")
+        + (f" glue={glue_env}" if glue_env else "")
         + f" | {n/dt/1e9:.3f} GB/s "
         f"({dt*1e3:.2f} ms) matches={total} "
         f"build={t_build:.1f}s compile={t_compile:.1f}s",

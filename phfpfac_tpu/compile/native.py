@@ -256,7 +256,6 @@ def ffdm_native(table: np.ndarray, width: int, hashtable_max: int = HASHTABLE_MA
 
 _FNV_OFF = 1469598103934665603
 _FNV_PRIME = 1099511628211
-_U64 = (1 << 64) - 1
 
 
 def _pattern_hash(shard):
@@ -278,6 +277,8 @@ def _pattern_hash(shard):
     # final state per pattern: vectorized walk, grouped by length
     n_pats = len(pats)
     states = np.empty(n_pats, dtype=np.int64)
+    hashes = np.empty(n_pats, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
     by_len: dict = {}
     for i, w in enumerate(pats):
         by_len.setdefault(len(w), []).append(i)
@@ -289,6 +290,12 @@ def _pattern_hash(shard):
         for t in range(1, L):
             st = dense[st, mat[:, t]].astype(np.int64)
         states[idxs] = st
+        # FNV-1a, vectorized per length group (uint64 wraps mod 2^64);
+        # must match the byte loop in pfac_decode_hits_hash
+        h = np.full(len(idxs), _FNV_OFF, dtype=np.uint64)
+        for t in range(L):
+            h = (h ^ mat[:, t].astype(np.uint64)) * prime
+        hashes[idxs] = h
     tsize = 8
     while tsize < 2 * n_pats:
         tsize <<= 1
@@ -298,10 +305,7 @@ def _pattern_hash(shard):
     slot_state = np.zeros(tsize, dtype=np.int32)
     blob_parts, off = [], 0
     for i, w in enumerate(pats):
-        h = _FNV_OFF
-        for b in w:
-            h = ((h ^ b) * _FNV_PRIME) & _U64
-        slot = h & mask
+        slot = int(hashes[i]) & mask
         while slot_off[slot] >= 0:
             slot = (slot + 1) & mask
         slot_off[slot] = off
