@@ -68,3 +68,26 @@ def test_fetch_bulk_small_plane():
     rng = np.random.default_rng(0)
     plane = _plane(16 * 1024, rng, 0.01, clustered=False)
     _check(plane, 16 * 1024)
+
+
+@pytest.mark.parametrize("high_frac", [0.0, 0.03, 1.0])
+def test_fetch_dense_u8_plane(high_frac, monkeypatch):
+    """Dense regime (u8 plane + high-bit exception list): exceptions
+    whose low byte is zero, nonzero, or absent all reconstruct the
+    exact (pos, bits) set."""
+    monkeypatch.setattr(bitmap, "_BULK_POSITIONS", 1 << 12)
+    rng = np.random.default_rng(int(high_frac * 100))
+    n = 64 * 1024
+    plane = np.zeros(n, np.int32)
+    idx = rng.choice(n, size=n // 3, replace=False)  # ~33% density
+    plane[idx] = rng.integers(1, 256, size=idx.size, dtype=np.int32)
+    n_high = int(idx.size * high_frac)
+    if n_high:
+        hsel = rng.choice(idx, size=n_high, replace=False)
+        # half keep their low byte, half are high-bits-only
+        plane[hsel] |= rng.integers(1, 1 << 23, size=n_high,
+                                    dtype=np.int32) << 8
+        plane[hsel[: n_high // 2]] &= ~0xFF
+    input_size = n - 777
+    plane[input_size + 5] = 1 << 20  # padding-zone hit must drop
+    _check(plane, input_size)
