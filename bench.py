@@ -74,40 +74,39 @@ def main() -> None:
         scan_fn = scan
 
     # chained, value-forced timing
-    seed = scan_fn(dev_data, jnp.int32(n), jnp.int32(0))
-    total0 = int(np.asarray(seed))  # forces compile + execution
-
-    reps = []
     K = 8
-    for _ in range(5):
-        s = jnp.int32(0)
-        t0 = time.perf_counter()
-        for _ in range(K):
-            s = scan_fn(dev_data, jnp.int32(n), s % 2)
-        _ = int(np.asarray(s))
-        reps.append((time.perf_counter() - t0) / K)
-    dt = float(np.median(reps))
-    if hasattr(scan, "check_overflow") and scan.check_overflow():
-        # the compacted path's survivor cap overflowed: its totals are
-        # truncations, so the timing above is not an honest scan.
-        # Re-time uncompacted (exact by construction).
-        from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
 
-        scan = plan_count_scanner(
-            shard, max_steps, train=data[: 1 << 20], compact="off"
-        )
-        dev_data = scan.prepare(padded, n)
-        total0 = int(np.asarray(scan.scan(dev_data, jnp.int32(n),
-                                          jnp.int32(0))))
+    def time_scan(fn):
         reps = []
         for _ in range(5):
             s = jnp.int32(0)
             t0 = time.perf_counter()
             for _ in range(K):
-                s = scan.scan(dev_data, jnp.int32(n), s % 2)
+                s = fn(dev_data, jnp.int32(n), s % 2)
             _ = int(np.asarray(s))
             reps.append((time.perf_counter() - t0) / K)
-        dt = float(np.median(reps))
+        return float(np.median(reps))
+
+    seed = scan_fn(dev_data, jnp.int32(n), jnp.int32(0))
+    total0 = int(np.asarray(seed))  # forces compile + execution
+    dt = time_scan(scan_fn)
+    overflowed = hasattr(scan, "check_overflow") and scan.check_overflow()
+    compacted_ms = None if overflowed else dt
+    if getattr(scan, "compact", "off") != "off":
+        # Also time the UNCOMPACTED plan and report the better number:
+        # both are exact, and this guards the headline against a glue
+        # whose hardware constants were never calibrated (or a cap
+        # overflow, whose compacted totals are truncations).
+        from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+
+        scan2 = plan_count_scanner(
+            shard, max_steps, train=data[: 1 << 20], compact="off"
+        )
+        dev_data = scan2.prepare(padded, n)
+        total0 = int(np.asarray(scan2.scan(dev_data, jnp.int32(n),
+                                           jnp.int32(0))))
+        dt2 = time_scan(scan2.scan)
+        dt = dt2 if overflowed else min(dt, dt2)
     gbs = n / dt / 1e9
 
     print(
@@ -123,6 +122,10 @@ def main() -> None:
                     "input_bytes": n,
                     "matches": total0,
                     "median_scan_ms": round(dt * 1e3, 3),
+                    "compacted_scan_ms": (
+                        round(compacted_ms * 1e3, 3)
+                        if compacted_ms is not None else None
+                    ),
                 },
             }
         )
