@@ -91,8 +91,9 @@ def main() -> None:
     total0 = int(np.asarray(seed))  # forces compile + execution
     dt = time_scan(scan_fn)
     overflowed = hasattr(scan, "check_overflow") and scan.check_overflow()
-    compacted_ms = None if overflowed else dt
-    if getattr(scan, "compact", "off") != "off":
+    is_compacted = getattr(scan, "compact", "off") != "off"
+    compacted_ms = dt if (is_compacted and not overflowed) else None
+    if is_compacted:
         # Also time the UNCOMPACTED plan and report the better number:
         # both are exact, and this guards the headline against a glue
         # whose hardware constants were never calibrated (or a cap
