@@ -121,11 +121,68 @@ class MultiHostMatcher:
         self.dm = DistributedMatcher(compiled, config, self.mesh)
         self.compiled = compiled
         self.config = config
+        self._local = local
+        # flagship plan kernel over the local mesh (built lazily: its
+        # profile-guided layout trains on the first input's head);
+        # turbo mesh stays the fallback for shards the plan can't
+        # express (charset, >32-step patterns, non-pow2 segments)
+        self._plan = None
+        self._plan_failed = False
+
+    def _get_plan(self, train: bytes):
+        import jax
+
+        if self._plan_failed:
+            return None
+        if not (self.config.interpret or
+                jax.default_backend() == "tpu"):
+            self._plan_failed = True  # no pallas backend here
+            return None
+        if self._plan is None:
+            from phfpfac_tpu.parallel.mesh_pallas import PlanMeshMatcher
+
+            n_dev, ns = len(self._local), self.compiled.num_shards
+            if n_dev % ns == 0:
+                mesh = make_mesh(n_dev // ns, ns, devices=self._local)
+            else:  # pure data mesh; shards loop on the host
+                mesh = make_mesh(n_dev, 1, devices=self._local)
+            try:
+                self._plan = PlanMeshMatcher(
+                    self.compiled, self.config, mesh,
+                    interpret=self.config.interpret, train=train,
+                )
+            except Exception as e:  # noqa: BLE001 — expected fallback
+                import warnings
+
+                warnings.warn(
+                    f"plan mesh unavailable ({type(e).__name__}: {e}); "
+                    f"multi-host path falls back to the turbo mesh"
+                )
+                self._plan_failed = True
+                return None
+        return self._plan
+
+    def _match_local(self, data: bytes, input_size: int):
+        plan = self._get_plan(bytes(data[: 1 << 20]))
+        if plan is not None:
+            try:
+                return plan.match(data, input_size=input_size)
+            except Exception as e:  # noqa: BLE001 — expected fallback
+                import warnings
+
+                warnings.warn(
+                    f"plan mesh scan failed ({type(e).__name__}: {e}); "
+                    f"falling back to the turbo mesh"
+                )
+                self._plan_failed = True
+        return self.dm.match(data, input_size=input_size)
 
     def match(self, data: bytes, *, input_size: int | None = None):
         """Match when this host holds the whole input (single-host or
         replicated-corpus mode)."""
-        return self.dm.match(data, input_size=input_size)
+        if input_size is None:
+            input_size = len(data)
+        return self._match_local(data, input_size)
 
     def match_file(self, path: str, *, input_size: int | None = None):
         """Cooperatively match a corpus file, each host reading only
@@ -137,7 +194,7 @@ class MultiHostMatcher:
                 data = f.read()
             if input_size is None:
                 input_size = len(data)
-            return self.dm.match(data, input_size=input_size)
+            return self._match_local(data, input_size)
 
         data, start, input_size = local_slice(path, input_size=input_size)
         halo = max(self.compiled.max_pat_len - 1, 0)
@@ -147,7 +204,7 @@ class MultiHostMatcher:
         ext = data + tail
 
         local = np.asarray(
-            self.dm.match(ext, input_size=min(len(ext), input_size - start))
+            self._match_local(ext, min(len(ext), input_size - start))
         )
         # keep matches starting inside this host's slice; global coords
         if local.size:

@@ -85,3 +85,32 @@ def test_two_process_match_file(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"pid {i} verified" in out
+
+
+def test_multihost_single_process_rides_plan_mesh(tmp_path):
+    """MultiHostMatcher prefers the flagship plan-mesh kernel when a
+    pallas backend exists (interpret on CPU), matching the oracle; the
+    turbo mesh stays the fallback elsewhere."""
+    from phfpfac_tpu.compile.tables import compile_patterns
+    from phfpfac_tpu.frontend.patterns import Pattern
+    from phfpfac_tpu.oracle.ac import match_oracle
+    from phfpfac_tpu.parallel.distributed import MultiHostMatcher
+    from phfpfac_tpu.utils.config import PfacConfig
+
+    words = [b"the", b"then", b"there", b"cat", b"dog", b"do", b"an"]
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    cfg = PfacConfig(width=256, num_shards=2, truncation="none",
+                     interpret=True)
+    comp = compile_patterns(pats, cfg)
+    data = b"the cat sat on the dog and then there was an end " * 120
+    corpus = tmp_path / "c.bin"
+    corpus.write_bytes(data)
+
+    mh = MultiHostMatcher(comp, cfg)
+    got = [tuple(x) for x in mh.match_file(str(corpus)).tolist()]
+    assert got == match_oracle(pats, data, cfg)
+    assert mh._plan is not None and not mh._plan_failed  # rode the plan
+
+    # and the explicit fallback stays byte-identical
+    got2 = [tuple(x) for x in mh.dm.match(data).tolist()]
+    assert got2 == got
