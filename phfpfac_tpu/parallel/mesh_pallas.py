@@ -408,7 +408,10 @@ class PlanMeshMatcher:
         n_pos = len(padded) - max_steps
         rows = n_pos // 128  # per-cell halos come from ppermute
 
-        from phfpfac_tpu.ops.pallas_plan import resolve_compact
+        from phfpfac_tpu.ops.pallas_plan import (
+            resolve_compact,
+            resolve_cond_from,
+        )
 
         # survivors compact per data-cell, so the cut/cap resolve
         # against the PER-DEVICE position count
@@ -430,7 +433,8 @@ class PlanMeshMatcher:
                     cb=st.code_bits, p0_miss=st.p0_miss,
                     p0_mode=st.p0_mode,
                     interpret=self.interpret, tpc=self.tpc,
-                    cond_from=3, grouped=st.trained, compact=cc,
+                    cond_from=resolve_cond_from(st, "auto"),
+                    grouped=st.trained, compact=cc,
                     seg_bytes=seg, halo_bytes=halo,
                 )
                 return _mesh_plan_stacked_scan(
@@ -473,7 +477,8 @@ class PlanMeshMatcher:
                     cb=pt.code_bits, p0_miss=pt.p0_miss,
                     p0_mode=pt.p0_mode,
                     interpret=self.interpret, tpc=self.tpc,
-                    cond_from=3, grouped=pt.trained, compact=cc,
+                    cond_from=resolve_cond_from(pt, "auto"),
+                    grouped=pt.trained, compact=cc,
                     seg_bytes=seg, halo_bytes=halo,
                 )
                 return _mesh_plan_bitmap_scan(
