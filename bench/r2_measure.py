@@ -64,7 +64,9 @@ STEPS = [
 ]
 
 
-def tpu_up(timeout: int = 90) -> bool:
+def tpu_up(timeout: int = 210) -> bool:
+    # cold init through the tunnel after a long outage can exceed 90 s;
+    # a short probe timeout would keep reporting DOWN forever
     try:
         r = subprocess.run(
             [sys.executable, "-c",
