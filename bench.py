@@ -93,6 +93,12 @@ def main() -> None:
     overflowed = hasattr(scan, "check_overflow") and scan.check_overflow()
     is_compacted = getattr(scan, "compact", "off") != "off"
     compacted_ms = dt if (is_compacted and not overflowed) else None
+    import os
+
+    if os.environ.get("PHFPFAC_BENCH_AB") == "0" and not overflowed:
+        # skip the plain A/B (tight time budget); an overflow still
+        # forces the plain re-time — compacted totals would be wrong
+        is_compacted = False
     if is_compacted:
         # Also time the UNCOMPACTED plan and report the better number:
         # both are exact, and this guards the headline against a glue
