@@ -23,47 +23,32 @@ LOG = os.path.join(REPO, "bench", "r2_results.log")
 
 # (tag, argv, timeout_s) — ordered cheapest-first so early results land
 # even if the tunnel dies again; big-dict compiles can take ~25 min.
-# Headline results first (short rounds can end before calibration):
-# english +-compaction -> binary -> big-dict -> 128 MiB headline, then
-# the e2e/coldstart/glue-calibration refinements.
+# Post-diagnosis ordering (compacted english measured 70x SLOW —
+# resolve_compact now gates "auto" off): breakdown diag first, then
+# the plain big-dict / binary / headline numbers, refinements after.
 STEPS = [
-    ("kexp_english_32_compact",
-     [sys.executable, "bench/kexp.py", "--mib", "32"], 3600),
-    ("kexp_english_32_nocompact",
-     [sys.executable, "bench/kexp.py", "--mib", "32",
-      "--compact", "off"], 3600),
-    ("binary_32_compact",
-     [sys.executable, "bench/binary.py", "--mib", "32",
-      "--tpc", "16", "--cond-from", "2"], 3600),
-    ("kexp_big_8_compact",
-     [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "8"],
-     5400),
+    ("compact_diag_32",
+     [sys.executable, "bench/compact_diag.py", "--mib", "32"], 3600),
     ("kexp_big_8_nocompact",
      [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "8",
       "--compact", "off"], 5400),
+    ("binary_32_nocompact",
+     [sys.executable, "bench/binary.py", "--mib", "32",
+      "--tpc", "16", "--cond-from", "2"], 3600),
     ("bench_headline_128",
      [sys.executable, "bench.py"], 5400),
-    ("kexp_english_32_compact_mxu",
-     [sys.executable, "bench/kexp.py", "--mib", "32",
-      "--glue", "mxu"], 3600),
     ("e2e_english_32",
      [sys.executable, "bench/e2e.py", "--mib", "32"], 5400),
     ("coldstart_big_8",
      [sys.executable, "bench/coldstart.py", "--dict", "big",
       "--mib", "8"], 7200),
-    ("glue_cal_32_d04",
-     [sys.executable, "bench/glue_cal.py", "--mib", "32",
-      "--density", "0.04"], 1800),
+    # the VERDICT item-1 target regime (~25 min compile)
+    ("kexp_big_32_nocompact",
+     [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "32",
+      "--compact", "off"], 7200),
     ("glue_cal_32_d005",
      [sys.executable, "bench/glue_cal.py", "--mib", "32",
       "--density", "0.005"], 1800),
-    ("glue_cal_32_d04_mxu",
-     [sys.executable, "bench/glue_cal.py", "--mib", "32",
-      "--density", "0.04", "--glue", "mxu"], 1800),
-    # the VERDICT item-1 target regime (kept last: ~25 min compile)
-    ("kexp_big_32_compact",
-     [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "32"],
-     7200),
 ]
 
 

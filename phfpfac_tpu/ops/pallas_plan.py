@@ -13,6 +13,7 @@ Same bitmap/count contracts as the other kernels.  Exact mode only.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -531,6 +532,15 @@ def resolve_cond_from(pt: PlanTables, cond_from) -> int:
 _COMPACT_MARGIN = 2.5  # cap = margin x trained survivor estimate
 _COMPACT_MAX_FRAC = 0.05  # cut where <= ~5% of walkers survive
 
+# Round-2 hardware measurement (bench/r2_results.log): the fused
+# two-phase program runs ~70x SLOWER than the plain scan on the real
+# v5e (english 32 MiB: 1049 ms vs 14.7 ms) even though the isolated
+# glue times at 0.15 ms (bench/glue_cal.py) — see bench/compact_diag.py
+# for the piece-by-piece breakdown.  Until the regression is fixed
+# in-kernel, "auto" engages only with explicit opt-in; explicit
+# (cut, cap) / int cuts are untouched (tests, tuning, diagnosis).
+_AUTO_OPT_IN = "PHFPFAC_COMPACT_AUTO"
+
 
 def resolve_compact(pt: PlanTables, n_pos: int, compact="auto",
                     tpc_b: int = 8):
@@ -559,6 +569,8 @@ def resolve_compact(pt: PlanTables, n_pos: int, compact="auto",
             if pt.trained and cut < len(pt.live_frac) else _COMPACT_MAX_FRAC
         )
     else:
+        if os.environ.get(_AUTO_OPT_IN) != "1":
+            return None  # measured regression — see _AUTO_OPT_IN note
         if not pt.trained or not pt.live_frac:
             return None
         cut = None
