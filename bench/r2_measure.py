@@ -27,16 +27,17 @@ LOG = os.path.join(REPO, "bench", "r2_results.log")
 # resolve_compact now gates "auto" off): breakdown diag first, then
 # the plain big-dict / binary / headline numbers, refinements after.
 STEPS = [
-    ("compact_diag_32",
-     [sys.executable, "bench/compact_diag.py", "--mib", "32"], 3600),
-    ("kexp_big_8_nocompact",
-     [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "8",
-      "--compact", "off"], 5400),
+    ("bench_headline_128",
+     [sys.executable, "bench.py"], 5400),
     ("binary_32_nocompact",
      [sys.executable, "bench/binary.py", "--mib", "32",
       "--tpc", "16", "--cond-from", "2"], 3600),
-    ("bench_headline_128",
-     [sys.executable, "bench.py"], 5400),
+    ("kexp_big_8_nocompact",
+     [sys.executable, "bench/kexp.py", "--dict", "big", "--mib", "8",
+      "--compact", "off"], 5400),
+    ("compact_diag_32",
+     [sys.executable, "bench/compact_diag.py", "--mib", "32",
+      "--reps", "3"], 3600),
     ("e2e_english_32",
      [sys.executable, "bench/e2e.py", "--mib", "32"], 5400),
     ("coldstart_big_8",
@@ -95,6 +96,12 @@ def run_step(tag: str, argv: list, timeout: int) -> bool:
     except subprocess.TimeoutExpired:
         log(tag, f"TIMEOUT after {timeout}s")
         return False
+    # full stdout/stderr per step (multi-line benches like compact_diag
+    # report one line per piece; the log keeps only the tail)
+    os.makedirs(os.path.join(REPO, "bench", "logs"), exist_ok=True)
+    with open(os.path.join(REPO, "bench", "logs", f"{tag}.txt"), "w") as f:
+        f.write(r.stdout + ("\n--- stderr ---\n" + r.stderr
+                            if r.stderr else ""))
     tail = (r.stdout.strip().splitlines() or ["<no stdout>"])[-1]
     if r.returncode != 0:
         err = (r.stderr.strip().splitlines() or ["<no stderr>"])[-1]
