@@ -90,8 +90,11 @@ def main() -> None:
     seed = scan_fn(dev_data, jnp.int32(n), jnp.int32(0))
     total0 = int(np.asarray(seed))  # forces compile + execution
     dt = time_scan(scan_fn)
+    # compaction ENGAGED (resolve_compact may gate "auto" off) — the
+    # request alone would mislabel a plain rerun as the compacted arm;
+    # read before check_overflow(), which drains the counts
+    is_compacted = bool(getattr(scan, "_surv_counts", []))
     overflowed = hasattr(scan, "check_overflow") and scan.check_overflow()
-    is_compacted = getattr(scan, "compact", "off") != "off"
     compacted_ms = dt if (is_compacted and not overflowed) else None
     import os
 

@@ -212,6 +212,30 @@ def main() -> None:
         None, (surv0,))
 
     @jax.jit
+    def glue_1d(surv, prev):
+        # the round-2 fix candidate: one 1-D gather per offset + stack
+        # (what _phase_b now does) instead of the batched 2-D gather
+        sv = alt(surv, prev)
+        flat = dev.reshape(-1)
+        N = sv.shape[0]
+        live = sv != 0
+        pos = pp._compact_positions(live, cap)
+        posc = jnp.minimum(pos, N - 1)
+        disp_b = jnp.where(pos < N, sv[posc], 0)
+        n_t = cap // TILE
+        lim = flat.shape[0] - 1
+        g_t = jnp.stack(
+            [flat[jnp.minimum(posc + off, lim)].reshape(n_t, _SUB, _LANE)
+             for off in offs_list],
+            axis=1,
+        ).reshape(n_t * n_offs * _SUB, _LANE)
+        return g_t.sum() + disp_b.sum() + pos.sum()
+
+    timed("glue_1d", lambda o, sv: glue_1d(
+        sv, jnp.asarray(0 if o is None else o, jnp.int32)),
+        None, (surv0,))
+
+    @jax.jit
     def phase_b_full(surv, prev):
         sv = alt(surv, prev)
         bits_b, pos, count = pp._phase_b(

@@ -763,18 +763,26 @@ def _phase_b(
     posc = jnp.minimum(pos, N - 1)
     disp_b = jnp.where(pos < N, surv[posc], 0)
     offs_list = sorted({sp.depth0 - 1 for sp in steps_b})
-    offs = jnp.asarray(offs_list, jnp.int32)
     n_offs = len(offs_list)
     # window planes: staged pair symbols at pos+off.  The staged
     # stream has a spare tile past the last position (staged_rows) and
     # step offsets are < 32, so the clip only guards filler rows.
-    g = flat[jnp.minimum(posc[:, None] + offs[None, :], flat.shape[0] - 1)]
+    # ONE 1-D gather per offset, NOT a single (cap, n_offs) batched
+    # gather: XLA lowers the batched form through a slow per-element
+    # path (round-2 hardware: the fused compacted scan ran 70x slower
+    # than its parts; bench/compact_diag.py), while plain 1-D gathers
+    # ride the fast gather engine (bench/glue_cal.py: 8.4M gathers in
+    # ~0.15 ms).  Stacking on a new axis also replaces the big
+    # (n_t, SUB, LANE, n_offs) transpose with n_offs sequential copies.
     n_t = cap // TILE
-    g_t = (
-        g.reshape(n_t, _SUB, _LANE, n_offs)
-        .transpose(0, 3, 1, 2)
-        .reshape(n_t * n_offs * _SUB, _LANE)
-    )
+    lim = flat.shape[0] - 1
+    g_t = jnp.stack(
+        [
+            flat[jnp.minimum(posc + off, lim)].reshape(n_t, _SUB, _LANE)
+            for off in offs_list
+        ],
+        axis=1,
+    ).reshape(n_t * n_offs * _SUB, _LANE)
     d_b = disp_b.reshape(n_t * _SUB, _LANE)
     if seg_bytes:
         lim = (pos & ~(seg_bytes - 1)) + (seg_bytes + halo_bytes) - pos
