@@ -50,6 +50,20 @@ STEPS = [
     ("glue_cal_32_d005",
      [sys.executable, "bench/glue_cal.py", "--mib", "32",
       "--density", "0.005"], 1800),
+    # post-glue-fix re-measure: explicit cut engages compaction past
+    # the PHFPFAC_COMPACT_AUTO gate (the 1049 ms number predates the
+    # per-offset 1-D window-gather glue)
+    ("kexp_english_32_compact_fix",
+     [sys.executable, "bench/kexp.py", "--mib", "32",
+      "--compact", "4"], 3600),
+    # headline knob probe at the 128 MiB benchmark shape (tpc=32/cf=4
+    # was tuned at 32 MiB; the headline sits 1.5% under the 3.5 target)
+    ("kexp_english_128_tpc64",
+     [sys.executable, "bench/kexp.py", "--mib", "128", "--tpc", "64",
+      "--compact", "off"], 3600),
+    ("kexp_english_128_tpc16",
+     [sys.executable, "bench/kexp.py", "--mib", "128", "--tpc", "16",
+      "--compact", "off"], 3600),
 ]
 
 
