@@ -240,6 +240,10 @@ class CompiledDictionary:
 
     @classmethod
     def load(cls, path: str | Path) -> "CompiledDictionary":
+        # NB: each z[key] access decompresses that npz member from the
+        # zip anew — members must be read ONCE and sliced in memory
+        # (a per-pattern z[...] read made loading the 156k-pattern
+        # dictionary quadratic: minutes instead of seconds).
         with np.load(path) as z:
             meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
             shards = []
@@ -266,17 +270,7 @@ class CompiledDictionary:
                         ht=z[f"shard{i}_ht"] if has_phf else None,
                         val=z[f"shard{i}_val"] if has_phf else None,
                         pattern_id_map=z[f"shard{i}_pattern_id_map"],
-                        patterns=(
-                            [
-                                bytes(z[f"shard{i}_patblob"][a:b])
-                                for a, b in zip(
-                                    z[f"shard{i}_patoffs"][:-1],
-                                    z[f"shard{i}_patoffs"][1:],
-                                )
-                            ]
-                            if f"shard{i}_patblob" in z
-                            else None
-                        ),
+                        patterns=_split_patblob(z, i),
                         output_lists=(
                             {int(k): v for k, v in m["output_lists"].items()}
                             if "output_lists" in m
@@ -294,6 +288,15 @@ class CompiledDictionary:
                 else None
             ),
         )
+
+
+def _split_patblob(z, i: int) -> list[bytes] | None:
+    """Shard i's patterns from the npz: one blob read, in-memory slices."""
+    if f"shard{i}_patblob" not in z:
+        return None
+    blob = z[f"shard{i}_patblob"].tobytes()
+    offs = z[f"shard{i}_patoffs"]
+    return [bytes(blob[a:b]) for a, b in zip(offs[:-1], offs[1:])]
 
 
 def _shard_to_tables(
