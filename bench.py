@@ -1,7 +1,14 @@
 """Driver benchmark: PFAC scan throughput on the real TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "GB/s", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "GB/s", "vs_baseline": N,
+   "regimes": {...}}
+
+``value`` stays the english-dictionary 128 MiB number for round-over-
+round comparability; ``regimes`` adds the Snort-scale big156 dict
+(32 MiB english text) and the binary-signature regime (5,000 sigs,
+sigma=256, 32 MiB random bytes) so the driver's BENCH_r{N}.json
+captures all three protocol regimes without hand-run logs.
 
 Baseline: the reference's headline kernel throughput — 0.664 Gbps =
 0.083 GB/s (GTX 1080, full 7,989-pattern english dictionary,
@@ -18,11 +25,16 @@ repeats.  Throughput counts scanned input bytes (the reference's
 kernel-time metric, master_kernel.cu cudaEvent span), excluding the
 one-time host->device table/corpus upload exactly as the reference's
 kernel number excludes its H2D copies.
+
+Env: PHFPFAC_BENCH_REGIMES comma-list subsets {english,big,binary}
+(default all three); PHFPFAC_BENCH_AB=0 skips the english plain-vs-
+compacted A/B under tight time budgets.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -33,33 +45,48 @@ import numpy as np
 BASELINE_GBPS = 0.664 / 8  # reference headline, GB/s
 
 
-def main() -> None:
-    from phfpfac_tpu.utils.cache import enable_persistent_cache
-
-    enable_persistent_cache()
-    import jax
+def _time_count_scan(scan, dev_data, n, *, reps: int = 5, k: int = 8):
+    """Chained, value-forced median seconds per scan."""
     import jax.numpy as jnp
 
+    out = []
+    for _ in range(reps):
+        s = jnp.int32(0)
+        t0 = time.perf_counter()
+        for _ in range(k):
+            s = scan(dev_data, jnp.int32(n), s % 2)
+        _ = int(np.asarray(s))
+        out.append((time.perf_counter() - t0) / k)
+    return float(np.median(out))
+
+
+def _compile_shard(pats, width: int = 4096):
     from phfpfac_tpu.compile.tables import compile_patterns
-    from phfpfac_tpu.frontend.patterns import Pattern
-    from phfpfac_tpu.ops.common import pad_input, padded_steps
     from phfpfac_tpu.utils.config import PfacConfig
 
-    # full english dictionary (xaa..xad = 7,989 patterns), 16 MiB corpus
+    compiled = compile_patterns(pats, PfacConfig(width=width, num_shards=1))
+    return compiled, compiled.shards[0]
+
+
+def bench_english() -> dict:
+    import jax.numpy as jnp
+
+    from phfpfac_tpu.frontend.patterns import Pattern
+    from phfpfac_tpu.ops.common import pad_input, padded_steps
+    from phfpfac_tpu.ops.engine_select import best_count_scanner
+
     words: list[bytes] = []
     for part in ("xaa", "xab", "xac", "xad"):
-        words += open(f"/root/reference/regex_GPU_PHF/{part}", "rb").read().split()
+        words += open(
+            f"/root/reference/regex_GPU_PHF/{part}", "rb"
+        ).read().split()
     pats = [Pattern(i + 1, w) for i, w in enumerate(dict.fromkeys(words))]
-    cfg = PfacConfig(width=4096, num_shards=1)
-    compiled = compile_patterns(pats, cfg)
-    shard = compiled.shards[0]
+    compiled, shard = _compile_shard(pats)
 
     data = open("/root/reference/regex_GPU_PHF/1M", "rb").read() * 128
     n = len(data)
     max_steps = padded_steps(compiled.max_pat_len)
     padded = pad_input(data, 1024, max_steps)
-
-    from phfpfac_tpu.ops.engine_select import best_count_scanner
 
     # profile-guided layout: train on the corpus head (PGO; exact
     # results for any input)
@@ -73,30 +100,15 @@ def main() -> None:
         dev_data = jnp.asarray(padded)
         scan_fn = scan
 
-    # chained, value-forced timing
-    K = 8
-
-    def time_scan(fn):
-        reps = []
-        for _ in range(5):
-            s = jnp.int32(0)
-            t0 = time.perf_counter()
-            for _ in range(K):
-                s = fn(dev_data, jnp.int32(n), s % 2)
-            _ = int(np.asarray(s))
-            reps.append((time.perf_counter() - t0) / K)
-        return float(np.median(reps))
-
     seed = scan_fn(dev_data, jnp.int32(n), jnp.int32(0))
     total0 = int(np.asarray(seed))  # forces compile + execution
-    dt = time_scan(scan_fn)
+    dt = _time_count_scan(scan_fn, dev_data, n)
     # compaction ENGAGED (resolve_compact may gate "auto" off) — the
     # request alone would mislabel a plain rerun as the compacted arm;
     # read before check_overflow(), which drains the counts
     is_compacted = bool(getattr(scan, "_surv_counts", []))
     overflowed = hasattr(scan, "check_overflow") and scan.check_overflow()
     compacted_ms = dt if (is_compacted and not overflowed) else None
-    import os
 
     if os.environ.get("PHFPFAC_BENCH_AB") == "0" and not overflowed:
         # skip the plain A/B (tight time budget); an overflow still
@@ -104,9 +116,9 @@ def main() -> None:
         is_compacted = False
     if is_compacted:
         # Also time the UNCOMPACTED plan and report the better number:
-        # both are exact, and this guards the headline against a glue
-        # whose hardware constants were never calibrated (or a cap
-        # overflow, whose compacted totals are truncations).
+        # both are exact, and this guards the headline against a cap
+        # overflow (whose compacted totals are truncations) or an
+        # uncalibrated compaction constant.
         from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
 
         scan2 = plan_count_scanner(
@@ -115,28 +127,143 @@ def main() -> None:
         dev_data = scan2.prepare(padded, n)
         total0 = int(np.asarray(scan2.scan(dev_data, jnp.int32(n),
                                            jnp.int32(0))))
-        dt2 = time_scan(scan2.scan)
+        dt2 = _time_count_scan(scan2.scan, dev_data, n)
         dt = dt2 if overflowed else min(dt, dt2)
     gbs = n / dt / 1e9
+    return {
+        "gbs": round(gbs, 4),
+        "patterns": len(pats),
+        "states": shard.state_num,
+        "input_bytes": n,
+        "matches": total0,
+        "median_scan_ms": round(dt * 1e3, 3),
+        "compacted_scan_ms": (
+            round(compacted_ms * 1e3, 3) if compacted_ms is not None
+            else None
+        ),
+    }
 
+
+def bench_big156() -> dict:
+    """Snort-scale regime: 156k wikipedia titles (<=32 B bulk), 32 MiB
+    english text — kexp's single-kernel protocol at the quoted size."""
+    import jax.numpy as jnp
+
+    from phfpfac_tpu.frontend.patterns import Pattern
+    from phfpfac_tpu.ops.common import pad_input, padded_steps
+    from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+
+    sys.path.insert(0, "/root/repo/bench")
+    from corpora import corpus, load_words
+
+    words = load_words("big", cap32=True)
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    compiled, shard = _compile_shard(pats)
+
+    data = corpus(32)
+    n = len(data)
+    max_steps = padded_steps(compiled.max_pat_len)
+    padded = pad_input(data, 1024, max_steps)
+    scan = plan_count_scanner(shard, max_steps, train=data[: 1 << 20])
+    dev = scan.prepare(padded, n)
+    total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
+    dt = _time_count_scan(scan.scan, dev, n)
+    if scan.check_overflow():
+        scan = plan_count_scanner(
+            shard, max_steps, train=data[: 1 << 20], compact="off"
+        )
+        dev = scan.prepare(padded, n)
+        total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
+        dt = _time_count_scan(scan.scan, dev, n)
+    return {
+        "gbs": round(n / dt / 1e9, 4),
+        "patterns": len(pats),
+        "states": shard.state_num,
+        "input_bytes": n,
+        "matches": total,
+        "median_scan_ms": round(dt * 1e3, 3),
+    }
+
+
+def bench_binary() -> dict:
+    """Early-death regime: 5,000 ClamAV-style byte signatures over
+    32 MiB random bytes (sigma=256 mono path)."""
+    import jax.numpy as jnp
+
+    from phfpfac_tpu.frontend.patterns import Pattern
+    from phfpfac_tpu.ops.common import pad_input, padded_steps
+    from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+
+    sys.path.insert(0, "/root/repo/bench")
+    from binary import make_signatures
+
+    sigs = make_signatures(5000)
+    pats = [Pattern(i + 1, s) for i, s in enumerate(sigs)]
+    compiled, shard = _compile_shard(pats)
+
+    rng = np.random.default_rng(1)
+    data = bytearray(rng.integers(0, 256, 32 << 20, dtype=np.uint8).tobytes())
+    for i in range(0, len(data) - 64, 1 << 18):  # plant some signatures
+        s = sigs[i % len(sigs)]
+        data[i : i + len(s)] = s
+    data = bytes(data)
+    n = len(data)
+    max_steps = padded_steps(compiled.max_pat_len)
+    padded = pad_input(data, 1024, max_steps)
+    scan = plan_count_scanner(shard, max_steps, train=data[: 1 << 20])
+    dev = scan.prepare(padded, n)
+    total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
+    dt = _time_count_scan(scan.scan, dev, n)
+    if scan.check_overflow():
+        scan = plan_count_scanner(
+            shard, max_steps, train=data[: 1 << 20], compact="off"
+        )
+        dev = scan.prepare(padded, n)
+        total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
+        dt = _time_count_scan(scan.scan, dev, n)
+    return {
+        "gbs": round(n / dt / 1e9, 4),
+        "signatures": len(sigs),
+        "states": shard.state_num,
+        "input_bytes": n,
+        "matches": total,
+        "median_scan_ms": round(dt * 1e3, 3),
+    }
+
+
+def main() -> None:
+    from phfpfac_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    want = os.environ.get(
+        "PHFPFAC_BENCH_REGIMES", "english,big,binary"
+    ).split(",")
+    runners = {
+        "english": bench_english, "big": bench_big156,
+        "binary": bench_binary,
+    }
+    regimes: dict = {}
+    for name in want:
+        name = name.strip()
+        if name not in runners:
+            continue
+        try:
+            regimes[name] = runners[name]()
+        except Exception as e:  # a broken side regime must not kill
+            regimes[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    eng = regimes.get("english", {})
+    gbs = eng.get("gbs", 0.0)
     print(
         json.dumps(
             {
                 "metric": "pfac_scan_throughput_full_english_dict_128MiB",
-                "value": round(gbs, 4),
+                "value": gbs,
                 "unit": "GB/s",
                 "vs_baseline": round(gbs / BASELINE_GBPS, 2),
-                "detail": {
-                    "patterns": len(pats),
-                    "states": shard.state_num,
-                    "input_bytes": n,
-                    "matches": total0,
-                    "median_scan_ms": round(dt * 1e3, 3),
-                    "compacted_scan_ms": (
-                        round(compacted_ms * 1e3, 3)
-                        if compacted_ms is not None else None
-                    ),
-                },
+                "detail": eng,
+                "regimes": regimes,
             }
         )
     )

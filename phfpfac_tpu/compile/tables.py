@@ -294,9 +294,14 @@ def _split_patblob(z, i: int) -> list[bytes] | None:
     """Shard i's patterns from the npz: one blob read, in-memory slices."""
     if f"shard{i}_patblob" not in z:
         return None
+    if f"shard{i}_patoffs" not in z:
+        raise ValueError(
+            f"corrupt dictionary file: shard{i}_patblob present but "
+            f"shard{i}_patoffs missing"
+        )
     blob = z[f"shard{i}_patblob"].tobytes()
     offs = z[f"shard{i}_patoffs"]
-    return [bytes(blob[a:b]) for a, b in zip(offs[:-1], offs[1:])]
+    return [blob[a:b] for a, b in zip(offs[:-1], offs[1:])]
 
 
 def _shard_to_tables(
