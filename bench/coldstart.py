@@ -73,6 +73,11 @@ def main() -> None:
         return
 
     # ---- phase 0: build artifacts + warm caches (untimed) -----------
+    # AOT-export the scan programs (utils/aot.py): the timed fresh
+    # process then deserializes StableHLO instead of re-tracing and
+    # re-lowering the widest Mosaic kernels (minutes of CPU at Snort
+    # scale even with a warm executable cache)
+    os.environ["PHFPFAC_AOT_SAVE"] = "1"
     from phfpfac_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--glue", default=None, choices=["nonzero", "mxu"],
                     help="survivor-compaction glue strategy A/B "
                          "(PHFPFAC_GLUE)")
+    ap.add_argument("--chain", type=int, default=0, metavar="K",
+                    help="time K in-jit chained scans (one dispatch; "
+                         "per-scan device time = (T(2K)-T(K))/K, "
+                         "cancelling dispatch+fetch like the "
+                         "reference's cudaEvent span)")
     args = ap.parse_args()
     if args.glue:
         import os
@@ -87,16 +92,35 @@ def main() -> None:
     total = int(np.asarray(seed))
     t_compile = time.perf_counter() - t0
 
-    reps = []
-    K = 8
-    for _ in range(args.reps):
-        s = jnp.int32(0)
-        t0 = time.perf_counter()
-        for _ in range(K):
-            s = scan.scan(dev, jnp.int32(n), s % 2)
-        _ = int(np.asarray(s))
-        reps.append((time.perf_counter() - t0) / K)
-    dt = float(np.median(reps))
+    if args.chain:
+        K = args.chain
+
+        def timed(k):
+            out = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                r = scan.scan_chain(dev, jnp.int32(n), jnp.int32(0), k)
+                _ = int(np.asarray(r))
+                out.append(time.perf_counter() - t0)
+            return float(np.median(out))
+
+        t_k, t_2k = timed(K), timed(2 * K)  # first calls compile
+        t_k, t_2k = timed(K), timed(2 * K)
+        dt = (t_2k - t_k) / K
+        print(f"[kexp] chain K={K}: T(K)={t_k*1e3:.2f} ms "
+              f"T(2K)={t_2k*1e3:.2f} ms -> per-scan {dt*1e3:.2f} ms",
+              flush=True)
+    else:
+        reps = []
+        K = 8
+        for _ in range(args.reps):
+            s = jnp.int32(0)
+            t0 = time.perf_counter()
+            for _ in range(K):
+                s = scan.scan(dev, jnp.int32(n), s % 2)
+            _ = int(np.asarray(s))
+            reps.append((time.perf_counter() - t0) / K)
+        dt = float(np.median(reps))
     assert not scan.check_overflow(), "survivor cap overflow — retune"
     import os
 

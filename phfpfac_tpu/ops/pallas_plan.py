@@ -913,6 +913,60 @@ def _plan_scan_count_compact(
     return partial.sum() + deep, count
 
 
+@functools.partial(jax.jit, static_argnames=_STATICS + ("k",))
+def _plan_scan_count_chain(
+    data2d, shift, p0_banks, packed_banks, side_banks,
+    *, k, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
+    grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
+):
+    """``k`` dependent count scans in ONE dispatch (lax.fori_loop):
+    each iteration's shift parity depends on the previous total, so
+    the loop is a true on-device dependency chain.  Timing ``k``
+    chained scans this way excludes the host/tunnel per-dispatch cost
+    the same way the reference's cudaEvent span excludes its launch
+    overhead (master_kernel.cu:400-423)."""
+    st = dict(
+        steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
+        interpret=interpret, tpc=tpc, cond_from=cond_from, grouped=grouped,
+        gmode=gmode, seg_bytes=seg_bytes, halo_bytes=halo_bytes,
+    )
+
+    def body(_, acc):
+        return _plan_scan_count(
+            data2d, (acc + shift) % 2, p0_banks, packed_banks,
+            side_banks, **st,
+        )
+
+    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS_C + ("k",))
+def _plan_scan_count_compact_chain(
+    data2d, shift, p0_banks, packed_banks, side_banks,
+    *, k, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
+    grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
+    cut=0, cap=0, tpc_b=8,
+):
+    """Chained compacted count scans; returns (last total, max true
+    survivor count across the chain) for the overflow check."""
+    st = dict(
+        steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
+        interpret=interpret, tpc=tpc, cond_from=cond_from, grouped=grouped,
+        gmode=gmode, seg_bytes=seg_bytes, halo_bytes=halo_bytes,
+        cut=cut, cap=cap, tpc_b=tpc_b,
+    )
+
+    def body(_, carry):
+        acc, om = carry
+        total, count = _plan_scan_count_compact(
+            data2d, (acc + shift) % 2, p0_banks, packed_banks,
+            side_banks, **st,
+        )
+        return total, jnp.maximum(om, count)
+
+    return jax.lax.fori_loop(0, k, body, (jnp.int32(0), jnp.int32(0)))
+
+
 @functools.partial(jax.jit, static_argnames=_STATICS)
 def _plan_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
@@ -937,6 +991,17 @@ def _plan_scan_count(
         interpret=interpret,
     )(data2d, data2d, shift.reshape(1), p0_banks, packed_banks, side_banks)
     return partial.sum()
+
+
+def _dispatch(name: str, fn, args: tuple, statics: dict):
+    """Scan-program dispatch through the AOT artifact store (fresh
+    processes skip trace+lowering; utils/aot.py).  Interpret mode
+    keeps the direct path — its eager execution has no trace cost."""
+    if statics.get("interpret"):
+        return fn(*args, **statics)
+    from phfpfac_tpu.utils.aot import aot_call
+
+    return aot_call(name, fn, args, statics)
 
 
 def _eager_if(interpret: bool):
@@ -1009,13 +1074,14 @@ class PlanShardScanner:
     def _scan_async(self, data2d, seg, halo):
         def plain():
             with _eager_if(self.interpret):
-                return _plan_scan_bitmap(
-                    data2d, jnp.zeros(1, jnp.int32),
-                    jnp.asarray(self.pt.p0_banks),
-                    jnp.asarray(self.pt.packed_banks),
-                    jnp.asarray(self.pt.side_banks),
-                    seg_bytes=seg, halo_bytes=halo,
-                    **self._statics(),
+                return _dispatch(
+                    "plan_bitmap", _plan_scan_bitmap,
+                    (data2d, jnp.zeros(1, jnp.int32),
+                     jnp.asarray(self.pt.p0_banks),
+                     jnp.asarray(self.pt.packed_banks),
+                     jnp.asarray(self.pt.side_banks)),
+                    dict(seg_bytes=seg, halo_bytes=halo,
+                         **self._statics()),
                 )
 
         n_pos = data2d.shape[0] * _LANE - TILE
@@ -1025,13 +1091,14 @@ class PlanShardScanner:
             return cnt, bits, lambda: (cnt, bits)
         cut, cap = cc
         with _eager_if(self.interpret):
-            cnt, bits, count = _plan_scan_bitmap_compact(
-                data2d, jnp.zeros(1, jnp.int32),
-                jnp.asarray(self.pt.p0_banks),
-                jnp.asarray(self.pt.packed_banks),
-                jnp.asarray(self.pt.side_banks),
-                seg_bytes=seg, halo_bytes=halo, cut=cut, cap=cap,
-                **self._statics(),
+            cnt, bits, count = _dispatch(
+                "plan_bitmap_compact", _plan_scan_bitmap_compact,
+                (data2d, jnp.zeros(1, jnp.int32),
+                 jnp.asarray(self.pt.p0_banks),
+                 jnp.asarray(self.pt.packed_banks),
+                 jnp.asarray(self.pt.side_banks)),
+                dict(seg_bytes=seg, halo_bytes=halo, cut=cut, cap=cap,
+                     **self._statics()),
             )
 
         def verify(cnt=cnt, bits=bits):
@@ -1087,18 +1154,56 @@ class PlanCountScan:
         if cc is not None:
             cut, cap = cc
             with _eager_if(self.interpret):
-                total, count = _plan_scan_count_compact(
-                    staged, jnp.asarray(shift, jnp.int32),
-                    self._p0, self._m, self._s, cut=cut, cap=cap,
-                    **statics,
+                total, count = _dispatch(
+                    "plan_count_compact", _plan_scan_count_compact,
+                    (staged, jnp.asarray(shift, jnp.int32),
+                     self._p0, self._m, self._s),
+                    dict(cut=cut, cap=cap, **statics),
                 )
             self._surv_counts.append(count)
             self._surv_caps.append(cap)
             return total
         with _eager_if(self.interpret):
-            return _plan_scan_count(
-                staged, jnp.asarray(shift, jnp.int32),
-                self._p0, self._m, self._s, **statics,
+            return _dispatch(
+                "plan_count", _plan_scan_count,
+                (staged, jnp.asarray(shift, jnp.int32),
+                 self._p0, self._m, self._s),
+                statics,
+            )
+
+    def scan_chain(self, staged, input_size, shift, k: int):
+        """``k`` dependent scans in ONE dispatch (see
+        _plan_scan_count_chain).  Returns the last scan's total; the
+        compacted path records the chain's max survivor count for
+        check_overflow().  Timing protocol: per-scan device time =
+        (T(2k) - T(k)) / k, which cancels dispatch + fetch costs the
+        reference's cudaEvent kernel span also excludes."""
+        pt = self.pt
+        statics = dict(
+            steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
+            p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
+            interpret=self.interpret, tpc=self.tpc,
+            cond_from=self.cond_from, grouped=pt.trained,
+            gmode=_default_gmode(), k=k,
+        )
+        n_pos = staged.shape[0] * _LANE - TILE
+        cc = resolve_compact(pt, n_pos, self.compact)
+        args = (staged, jnp.asarray(shift, jnp.int32),
+                self._p0, self._m, self._s)
+        if cc is not None:
+            cut, cap = cc
+            with _eager_if(self.interpret):
+                total, count = _dispatch(
+                    "plan_count_compact_chain",
+                    _plan_scan_count_compact_chain, args,
+                    dict(cut=cut, cap=cap, **statics),
+                )
+            self._surv_counts.append(count)
+            self._surv_caps.append(cap)
+            return total
+        with _eager_if(self.interpret):
+            return _dispatch(
+                "plan_count_chain", _plan_scan_count_chain, args, statics,
             )
 
     def check_overflow(self) -> bool:
