@@ -21,8 +21,15 @@ dispatches can be elided, and (b) fetching any value costs a ~40 ms
 round trip.  Honest timing therefore requires (1) every call to
 depend on the previous call's device output, (2) a single value fetch
 at the end, amortized over many chained calls, and (3) medians across
-repeats.  Throughput counts scanned input bytes (the reference's
-kernel-time metric, master_kernel.cu cudaEvent span), excluding the
+repeats.  Round 3 moved the chain IN-JIT (scan_chain: a lax.fori_loop
+of k dependent scans in ONE dispatch, per-scan = (T(2k)-T(k))/k),
+because the host-side chain pays a measured ~4.7 ms per dispatch
+through this tunnel — at 32 MiB that inflated 9.6 ms kernels to
+14.3 ms.  Differencing cancels dispatch + fetch exactly as the
+reference's cudaEvent kernel span excludes its launch overhead and
+H2D copies (master_kernel.cu:400-423); the per-dispatch arm is kept
+in ``dispatch_scan_ms`` as the conservative end-to-end-dispatch
+number.  Throughput counts scanned input bytes, excluding the
 one-time host->device table/corpus upload exactly as the reference's
 kernel number excludes its H2D copies.
 
@@ -46,7 +53,8 @@ BASELINE_GBPS = 0.664 / 8  # reference headline, GB/s
 
 
 def _time_count_scan(scan, dev_data, n, *, reps: int = 5, k: int = 8):
-    """Chained, value-forced median seconds per scan."""
+    """Chained, value-forced median seconds per scan (includes the
+    host/tunnel per-dispatch cost — kept as the conservative arm)."""
     import jax.numpy as jnp
 
     out = []
@@ -58,6 +66,48 @@ def _time_count_scan(scan, dev_data, n, *, reps: int = 5, k: int = 8):
         _ = int(np.asarray(s))
         out.append((time.perf_counter() - t0) / k)
     return float(np.median(out))
+
+
+def _time_chain(sc, dev_data, n, *, reps: int = 3, k: int = 8):
+    """Device-only seconds per scan via in-jit chaining.
+
+    One dispatch runs ``k`` dependent scans (PlanCountScan.scan_chain,
+    a lax.fori_loop whose shift parity depends on the previous total);
+    (T(2k) - T(k)) / k cancels dispatch and fetch costs exactly as the
+    reference's cudaEvent kernel span excludes its launch overhead
+    (master_kernel.cu:400-423).  Returns None when the scanner has no
+    chain support (non-plan engines)."""
+    import jax.numpy as jnp
+
+    if not hasattr(sc, "scan_chain"):
+        return None
+
+    def timed(kk):
+        out = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = sc.scan_chain(dev_data, jnp.int32(n), jnp.int32(0), kk)
+            _ = int(np.asarray(r))
+            out.append(time.perf_counter() - t0)
+        return float(np.median(out))
+
+    timed(k), timed(2 * k)  # compile both shapes
+    return (timed(2 * k) - timed(k)) / k
+
+
+def _best_time(sc, dev_data, n, dt_dispatch):
+    """min(dispatch-chained, in-jit-chained) seconds per scan — the
+    chained arm is the honest kernel-only number; the dispatch arm
+    caps it in case chaining misbehaves (overflow drains discard it)."""
+    try:
+        dt_dev = _time_chain(sc, dev_data, n)
+        if dt_dev is not None and (
+            not hasattr(sc, "check_overflow") or not sc.check_overflow()
+        ):
+            return min(dt_dispatch, dt_dev)
+    except Exception:
+        pass
+    return dt_dispatch
 
 
 def _compile_shard(pats, width: int = 4096):
@@ -114,6 +164,7 @@ def bench_english() -> dict:
         # skip the plain A/B (tight time budget); an overflow still
         # forces the plain re-time — compacted totals would be wrong
         is_compacted = False
+    final_sc = scan
     if is_compacted:
         # Also time the UNCOMPACTED plan and report the better number:
         # both are exact, and this guards the headline against a cap
@@ -128,7 +179,9 @@ def bench_english() -> dict:
         total0 = int(np.asarray(scan2.scan(dev_data, jnp.int32(n),
                                            jnp.int32(0))))
         dt2 = _time_count_scan(scan2.scan, dev_data, n)
-        dt = dt2 if overflowed else min(dt, dt2)
+        if overflowed or dt2 < dt:
+            dt, final_sc = dt2, scan2
+    dt_disp, dt = dt, _best_time(final_sc, dev_data, n, dt)
     gbs = n / dt / 1e9
     return {
         "gbs": round(gbs, 4),
@@ -137,6 +190,7 @@ def bench_english() -> dict:
         "input_bytes": n,
         "matches": total0,
         "median_scan_ms": round(dt * 1e3, 3),
+        "dispatch_scan_ms": round(dt_disp * 1e3, 3),
         "compacted_scan_ms": (
             round(compacted_ms * 1e3, 3) if compacted_ms is not None
             else None
@@ -175,6 +229,7 @@ def bench_big156() -> dict:
         dev = scan.prepare(padded, n)
         total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
         dt = _time_count_scan(scan.scan, dev, n)
+    dt_disp, dt = dt, _best_time(scan, dev, n, dt)
     return {
         "gbs": round(n / dt / 1e9, 4),
         "patterns": len(pats),
@@ -182,6 +237,7 @@ def bench_big156() -> dict:
         "input_bytes": n,
         "matches": total,
         "median_scan_ms": round(dt * 1e3, 3),
+        "dispatch_scan_ms": round(dt_disp * 1e3, 3),
     }
 
 
@@ -221,6 +277,7 @@ def bench_binary() -> dict:
         dev = scan.prepare(padded, n)
         total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
         dt = _time_count_scan(scan.scan, dev, n)
+    dt_disp, dt = dt, _best_time(scan, dev, n, dt)
     return {
         "gbs": round(n / dt / 1e9, 4),
         "signatures": len(sigs),
@@ -228,6 +285,7 @@ def bench_binary() -> dict:
         "input_bytes": n,
         "matches": total,
         "median_scan_ms": round(dt * 1e3, 3),
+        "dispatch_scan_ms": round(dt_disp * 1e3, 3),
     }
 
 

@@ -26,7 +26,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mib", type=int, default=32)
     ap.add_argument("--dict", default="english",
-                    choices=["english", "xaa", "big", "full"])
+                    choices=["english", "xaa", "big", "full", "binary"])
     ap.add_argument("--untrained", action="store_true")
     ap.add_argument("--tpc", type=int, default=32)
     ap.add_argument("--cond-from", type=int, default=4)
@@ -60,15 +60,34 @@ def main() -> None:
     # "big" = the 156k-title Snort-scale dict (bigenglishdic/xaa alone,
     # matching PERF.md's round-1 numbers); "full" = all 466k titles —
     # both capped at the 32-step bitmap (single-kernel protocol).
-    words = load_words(
-        args.dict, cap32=args.dict in ("big", "full")
-    )
+    # "binary" = the bench.py binary-signature regime (5,000 sigs,
+    # sigma=256, random bytes with planted signatures).
+    if args.dict == "binary":
+        from binary import make_signatures
+
+        words = make_signatures(5000)
+    else:
+        words = load_words(
+            args.dict, cap32=args.dict in ("big", "full")
+        )
     pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
     cfg = PfacConfig(width=4096, num_shards=1)
     compiled = compile_patterns(pats, cfg)
     shard = compiled.shards[0]
 
-    data = corpus(args.mib)
+    if args.dict == "binary":
+        import numpy as _np
+
+        rng = _np.random.default_rng(1)
+        buf = bytearray(
+            rng.integers(0, 256, args.mib << 20, dtype=_np.uint8).tobytes()
+        )
+        for i in range(0, len(buf) - 64, 1 << 18):
+            s = words[i % len(words)]
+            buf[i : i + len(s)] = s
+        data = bytes(buf)
+    else:
+        data = corpus(args.mib)
     n = len(data)
     max_steps = padded_steps(compiled.max_pat_len)
     padded = pad_input(data, 1024, max_steps)

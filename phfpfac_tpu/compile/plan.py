@@ -267,6 +267,21 @@ def build_plan_tables(
         _layout_banks,
     )
 
+    def _prio(w):
+        """Coarse log2 visit buckets for the first-fit placement order.
+
+        Raw visit counts are almost always pairwise distinct, so a raw
+        priority orders near-equal-hot rows by profile NOISE and
+        destroys the size-descending packing the first-fit relies on
+        (measured: the sigma=256 signature dictionary's flat-profile
+        depth-2 table packed at 48% — 80 banks — vs 92% for its
+        skewed depth-3 neighbor).  log2 buckets keep hot-first order
+        where the profile has real skew and tie near-equal rows so
+        the native layout's size-descending tiebreak packs tightly."""
+        if w is None:
+            return None
+        return np.floor(np.log2(w.astype(np.float64) + 1)).astype(np.int64)
+
     exact = native.available()
     mono_cand: dict = {}  # d -> dict(offsets, ht_len, cols, banks)
     pair_cand: dict = {}  # d -> dict(offsets, ht_len, join, nib, banks)
@@ -296,7 +311,8 @@ def build_plan_tables(
             mono_cand[d] = dict(cols=cols, w=w)
         if want_mono and exact:
             offsets, ht_len = _layout_csr(
-                lv.tr_offs[li], cols, colspan=mono_span, priority=w
+                lv.tr_offs[li], cols, colspan=mono_span,
+                priority=_prio(w)
             )
             banks = _layout_banks(offsets, lv.tr_offs[li], cols)
             cost_b = banks
@@ -321,7 +337,7 @@ def build_plan_tables(
             if exact:
                 offsets, ht_len, nib, mb, sb = _layout_pair_step(
                     p_offs, pair, s_offs, side, pair_span, mono_span,
-                    priority=w, force_nibble=forced_nib.get(d),
+                    priority=_prio(w), force_nibble=forced_nib.get(d),
                 )
                 hot_m = hot_s = 0
                 if w is not None:
@@ -351,14 +367,14 @@ def build_plan_tables(
         if kind == "mono":
             offsets, ht_len = _layout_csr(
                 lv.tr_offs[d - 1], c["cols"], colspan=mono_span,
-                priority=c["w"],
+                priority=_prio(c["w"]),
             )
             c.update(offsets=offsets, ht_len=ht_len)
         else:
             p_offs, pair, _end, s_offs, side = c["join"]
             offsets, ht_len, nib, _mb, _sb = _layout_pair_step(
                 p_offs, pair, s_offs, side, pair_span, mono_span,
-                priority=c["w"], force_nibble=forced_nib.get(d),
+                priority=_prio(c["w"]), force_nibble=forced_nib.get(d),
             )
             c.update(offsets=offsets, ht_len=ht_len, nib=nib)
 

@@ -67,6 +67,41 @@ def _lut_range(banks_ref, idx, acc, lo: int, hi: int, off: int = 0,
     return acc
 
 
+def _bank_outer() -> bool:
+    """Probe op order (A/B knob, read at trace time).
+
+    Bank-outer reads + broadcasts each bank row ONCE per probe and
+    gathers all ``tpc`` tiles from it; the original tile-outer order
+    re-reads every row per tile — pallas ref reads are effect-ordered,
+    so Mosaic cannot CSE the tpc redundant reads (the same discipline
+    that keeps windows from hoisting, see _make_plan_kernel.window).
+    Cuts probe cost from 3 to ~2 + 1/tpc vops per bank per tile.
+    ``PHFPFAC_BANK_OUTER=0`` restores tile-outer (A/B)."""
+    return os.environ.get("PHFPFAC_BANK_OUTER", "1") != "0"
+
+
+def _lut_multi(banks_ref, idxs, nb: int, off: int = 0, k0: int = 0):
+    """pallas_scan._lut over ALL tiles at once, bank-outer order."""
+    accs = [jnp.full(idxs[0].shape, -1, dtype=jnp.int32) for _ in idxs]
+    return _lut_range_multi(banks_ref, idxs, accs, 0, nb, off, k0)
+
+
+def _lut_range_multi(banks_ref, idxs, accs, lo: int, hi: int,
+                     off: int = 0, k0: int = 0):
+    """_lut_range over ALL tiles at once, bank rows read once each."""
+    banks = [idx >> 7 for idx in idxs]
+    lanes = [idx & (_LANE - 1) for idx in idxs]
+    accs = list(accs)
+    for k in range(lo, hi):
+        row = jnp.broadcast_to(
+            banks_ref[off + k, :][None, :], idxs[0].shape
+        )
+        for i in range(len(idxs)):
+            g = jnp.take_along_axis(row, lanes[i], axis=1)
+            accs[i] = jnp.where(banks[i] == k + k0, g, accs[i])
+    return accs
+
+
 def _group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
     """Geometric bank-group boundaries: [first, ..., nb].
 
@@ -182,20 +217,28 @@ def _run_steps(
             ends, tail_lo = ends[:_UNROLL_GROUPS], ends[_UNROLL_GROUPS - 1]
         else:
             tail_lo = None
-        accs = tuple(
-            _lut_range(
-                ref, idxs[i],
-                jnp.full(idxs[i].shape, -1, jnp.int32),
-                0, ends[0], off, k0,
+
+        def range_probe(accs, lo, hi):
+            if _bank_outer():
+                return tuple(
+                    _lut_range_multi(ref, idxs, list(accs), lo, hi,
+                                     off, k0)
+                )
+            return tuple(
+                _lut_range(ref, idxs[i], accs[i], lo, hi, off, k0)
+                for i in range(tpc)
             )
-            for i in range(tpc)
+
+        accs = range_probe(
+            tuple(
+                jnp.full(idxs[i].shape, -1, jnp.int32)
+                for i in range(tpc)
+            ),
+            0, ends[0],
         )
         for lo, hi in zip(ends[:-1], ends[1:]):
             def probe(accs, lo=lo, hi=hi):
-                return tuple(
-                    _lut_range(ref, idxs[i], accs[i], lo, hi, off, k0)
-                    for i in range(tpc)
-                )
+                return range_probe(accs, lo, hi)
 
             accs = jax.lax.cond(
                 mx >= ((k0 + lo) << 7), probe, lambda a: a, accs
@@ -316,6 +359,8 @@ def _run_steps(
                     m_ref, idxs, sp.off, sp.nb, sp.k0,
                     hot=sp.hot_nb,
                 )
+            elif _bank_outer():
+                gs = _lut_multi(m_ref, idxs, sp.nb, sp.off, sp.k0)
             else:
                 gs = [
                     _lut(m_ref, idxs[i], sp.nb, sp.off, sp.k0)
@@ -334,6 +379,9 @@ def _run_steps(
                         s_ref, widxs, sp.s_off, sp.s_nb,
                         sp.s_k0, hot=sp.s_hot_nb,
                     )
+                elif _bank_outer():
+                    ws = _lut_multi(s_ref, widxs, sp.s_nb, sp.s_off,
+                                    sp.s_k0)
                 else:
                     ws = [
                         _lut(s_ref, widxs[i], sp.s_nb, sp.s_off,
@@ -433,10 +481,18 @@ def _make_plan_kernel(
         # plan-wide dead sentinel (compile.plan builds every table
         # strictly below it).
         disps, outs = [], []
+        if _bank_outer():
+            curs0 = [tile_a(i) for i in range(tpc)]
+            vs0 = _lut_multi(
+                p0_ref,
+                curs0 if p0_mode == "dense"
+                else [c & cbm for c in curs0],
+                nb_p0,
+            )
         for i in range(tpc):
             cur = tile_a(i)
             if p0_mode == "dense":
-                v = _lut(p0_ref, cur, nb_p0)
+                v = vs0[i] if _bank_outer() else _lut(p0_ref, cur, nb_p0)
                 alive = v >= 0
                 fin1 = alive & ((v & 1) == 1)
                 fin2 = alive & ((v & 2) == 2)
@@ -456,7 +512,10 @@ def _make_plan_kernel(
                     )
                 )
             else:
-                v = _lut(p0_ref, cur & cbm, nb_p0)
+                v = (
+                    vs0[i] if _bank_outer()
+                    else _lut(p0_ref, cur & cbm, nb_p0)
+                )
                 alive = v >= 0
                 fin1 = alive & ((v & 1) == 1)
                 outs.append(fin1.astype(jnp.int32))

@@ -318,7 +318,8 @@ class Matcher:
                 self._pallas_scanner = ("depth", per_shard)
         return self._pallas_scanner
 
-    def _dispatch_flat_pallas(self, data: bytes, input_size: int):
+    def _dispatch_flat_pallas(self, data: bytes, input_size: int,
+                              padded_dev=None):
         """Start every shard's device scan WITHOUT blocking; return a
         list of per-shard resolvers (each ``resolver()`` -> flat
         matches), or None when no pallas path applies.
@@ -328,12 +329,19 @@ class Matcher:
         i's bitmaps download and decode — the TPU analog of the
         reference's per-thread default streams (Makefile:1,
         main.cc:225-241).
+
+        ``padded_dev``: optional pre-staged device window replacing the
+        host pad+upload (upload-free chunked pipelining); ``data``
+        stays the host copy the decoders re-read substrings from.
         """
         from phfpfac_tpu.ops.bitmap import decode_bitmap, decode_hits, \
             fetch_hit_bits
 
         max_steps = padded_steps(self.compiled.max_pat_len)
-        padded = pad_input(data, _POS_PAD, max_steps)
+        padded = (
+            padded_dev if padded_dev is not None
+            else pad_input(data, _POS_PAD, max_steps)
+        )
         if self._train is None and self._pallas_scanner is None \
                 and len(data) >= 4096:
             # profile-guided layout: train on the head of the first
@@ -458,9 +466,29 @@ class Matcher:
         assert fallback
         return self._match_flat_turbo(data, input_size)
 
+    def stage_for_chunked(self, data, *, chunk_bytes: int = 16 << 20):
+        """One-time device staging for upload-free ``match_chunked``.
+
+        Returns the padded corpus as a device array sized so every
+        chunk window is a valid in-bounds device slice; pass it as
+        ``device_data`` (with the same ``chunk_bytes``) and the chunk
+        loop slices windows on-device instead of re-uploading them —
+        the tunnel-independent pipelining mode (serving deployments
+        whose corpus already lives on device)."""
+        import jax.numpy as jnp
+
+        max_steps = padded_steps(self.compiled.max_pat_len)
+        overlap = max(self.compiled.max_pat_len - 1, 0)
+        if self.config.truncation == "segment":
+            overlap = max(overlap, self.config.halo_bytes)
+        wlen = chunk_bytes + overlap
+        wpad = -(-wlen // _POS_PAD) * _POS_PAD + max_steps
+        return jnp.asarray(pad_input(data, _POS_PAD, wpad))
+
     def match_chunked(
         self, data: bytes, *, input_size: int | None = None,
         chunk_bytes: int = 16 << 20, max_outstanding: int = 3,
+        device_data=None,
     ) -> np.ndarray:
         """Pipelined chunked scan: upload+scan of chunk i+1 overlaps
         the bitmap download + decode of chunk i (the reference overlaps
@@ -506,6 +534,26 @@ class Matcher:
         # executable serves any corpus size (XLA compiles per shape;
         # per-size recompiles of the wide kernels cost minutes)
         wlen = chunk_bytes + overlap
+        slicer = None
+        if device_data is not None:
+            # upload-free mode: windows are on-device dynamic slices
+            # of the staged corpus (stage_for_chunked); one jitted
+            # slicer serves every chunk offset
+            import jax
+            import jax.numpy as jnp
+
+            max_steps = padded_steps(self.compiled.max_pat_len)
+            wpad = -(-wlen // _POS_PAD) * _POS_PAD + max_steps
+            if device_data.shape[0] < input_size + wpad:
+                raise ValueError(
+                    "device_data too short for this chunk geometry — "
+                    "stage with Matcher.stage_for_chunked(data, "
+                    "chunk_bytes=...) using the same chunk_bytes"
+                )
+
+            def slicer(base, _w=wpad, _d=device_data):
+                return jax.lax.dynamic_slice(_d, (jnp.int32(base),), (_w,))
+
         with self.timer.phase("match"):
             base = 0
             while base < input_size:
@@ -515,7 +563,8 @@ class Matcher:
                 if len(window) < wlen:
                     window += b"\x00" * (wlen - len(window))
                 resolvers = self._dispatch_flat_pallas(
-                    window, wend - base
+                    window, wend - base,
+                    padded_dev=None if slicer is None else slicer(base),
                 )
                 if resolvers is None:
                     break  # no pallas path: unchunked fallback below

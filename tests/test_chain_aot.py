@@ -102,3 +102,19 @@ def test_aot_call_stale_artifact_falls_back(tmp_path, monkeypatch):
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_bytes(b"not a serialized module")
     assert int(aot.aot_call("g", g, (x,), {})) == 42
+
+
+def test_match_chunked_device_data():
+    """Upload-free chunked matching (device-resident corpus windows)
+    is byte-identical to match() and to host-upload chunking."""
+    from phfpfac_tpu.parallel.matcher import Matcher
+
+    compiled, data = _setup()
+    cfg = PfacConfig(width=256, num_shards=1, interpret=True)
+    m = Matcher(compiled, cfg, engine="pallas", train=data[:4096])
+    want = m.match(data)
+    dev = m.stage_for_chunked(data, chunk_bytes=8192)
+    got = m.match_chunked(data, chunk_bytes=8192, device_data=dev)
+    np.testing.assert_array_equal(want, got)
+    got2 = m.match_chunked(data, chunk_bytes=8192)
+    np.testing.assert_array_equal(want, got2)
