@@ -266,13 +266,19 @@ def bench_binary() -> dict:
     n = len(data)
     max_steps = padded_steps(compiled.max_pat_len)
     padded = pad_input(data, 1024, max_steps)
-    scan = plan_count_scanner(shard, max_steps, train=data[: 1 << 20])
+    # tpc=8 / cond_from=3: measured optimum for the sigma=256 regime
+    # (r3 sweep, bench/logs/r3_tpc8_bin32.txt: 20.4 vs 21.9 ms at
+    # tpc=32 — smaller cells let the post-depth-4 steps' conds skip)
+    scan = plan_count_scanner(
+        shard, max_steps, train=data[: 1 << 20], tpc=8, cond_from=3
+    )
     dev = scan.prepare(padded, n)
     total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
     dt = _time_count_scan(scan.scan, dev, n)
     if scan.check_overflow():
         scan = plan_count_scanner(
-            shard, max_steps, train=data[: 1 << 20], compact="off"
+            shard, max_steps, train=data[: 1 << 20], compact="off",
+            tpc=8, cond_from=3,
         )
         dev = scan.prepare(padded, n)
         total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))

@@ -24,6 +24,7 @@ Notes on fidelity:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from phfpfac_tpu.compile.tables import compile_dictionary
@@ -126,6 +127,11 @@ def main(argv: list[str] | None = None) -> int:
     # the trie + plan build, bench/coldstart.py)
     if args.save_tables:
         compiled.save(args.save_tables)
+        if not interpret:
+            # a --save-tables run is the explicit "build" step: also
+            # export AOT scan artifacts (utils/aot.py) so later runs
+            # at the same input shape skip trace+lowering entirely
+            os.environ.setdefault("PHFPFAC_AOT_SAVE", "1")
     resave_with_plan = (
         args.save_tables and args.engine == "pallas"
         and not (args.num_processes > 1 or args.mesh)
@@ -137,8 +143,6 @@ def main(argv: list[str] | None = None) -> int:
             print(f"state num on shard {i} : {sh.state_num}")
             print(f"final state num on shard {i} : {sh.final_state_num}")
             print(f"max pattern length on shard {i} : {sh.max_pat_len}")
-
-    import os
 
     file_size = os.path.getsize(args.input_file)
     input_size = file_size if args.full_input else max(file_size - 1, 0)

@@ -72,12 +72,14 @@ def _bank_outer() -> bool:
 
     Bank-outer reads + broadcasts each bank row ONCE per probe and
     gathers all ``tpc`` tiles from it; the original tile-outer order
-    re-reads every row per tile — pallas ref reads are effect-ordered,
-    so Mosaic cannot CSE the tpc redundant reads (the same discipline
-    that keeps windows from hoisting, see _make_plan_kernel.window).
-    Cuts probe cost from 3 to ~2 + 1/tpc vops per bank per tile.
-    ``PHFPFAC_BANK_OUTER=0`` restores tile-outer (A/B)."""
-    return os.environ.get("PHFPFAC_BANK_OUTER", "1") != "0"
+    re-reads every row per tile.  MEASURED WORSE on v5e across every
+    regime (32 MiB chained: binary 30.9 vs 21.9 ms, big156 16.6 vs
+    13.0, english 128 MiB 47.9 vs 39.3) — the per-tile probe chains
+    are independent instruction streams Mosaic pipelines well, while
+    the shared row read serializes them; the saved issue slots don't
+    pay for the lost ILP.  Default OFF; ``PHFPFAC_BANK_OUTER=1``
+    re-enables for A/B."""
+    return os.environ.get("PHFPFAC_BANK_OUTER", "0") == "1"
 
 
 def _lut_multi(banks_ref, idxs, nb: int, off: int = 0, k0: int = 0):
