@@ -45,6 +45,8 @@ def timed_run(name: str, mib: float) -> None:
     t_imp = time.perf_counter()
     compiled = CompiledDictionary.load(SAVE.format(name=name))
     t_load = time.perf_counter()
+    _ = jax.devices()  # force backend init (axon tunnel discovery)
+    t_dev = time.perf_counter()
     data = corpus(mib)
     cfg = PfacConfig(
         width=4096, num_shards=1, truncation="none",
@@ -56,8 +58,9 @@ def timed_run(name: str, mib: float) -> None:
     print(
         f"coldstart {name} {mib}MiB: {t_first - t0:.1f} s to first "
         f"result ({len(got)} matches; import {t_imp - t0:.1f}, "
-        f"dict load {t_load - t_imp:.1f}, tables+compile+scan "
-        f"{t_first - t_load:.1f})"
+        f"dict load {t_load - t_imp:.1f}, backend init "
+        f"{t_dev - t_load:.1f}, tables+compile+scan "
+        f"{t_first - t_dev:.1f})"
     )
 
 

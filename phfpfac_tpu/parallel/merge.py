@@ -100,8 +100,20 @@ def merge_flat_matches(
         if m.size == 0:
             continue
         keep = m[:, 0] < input_size
-        m = m[keep]
-        take, ids, sub, sub_base = _map_ids(compiled.shards[s], m[:, 2])
+        if not keep.all():  # padding-region hits only; usually none
+            m = m[keep]
+        sh = compiled.shards[s]
+        if not sh.output_lists:
+            # plain-dictionary fast path: _map_ids' take is the
+            # identity, so skip the 3 pointless fancy-gathers (they
+            # were ~half the merge time at millions of matches on
+            # this rig's first-touch-fault-heavy memory)
+            pos_parts.append(m[:, 0])
+            step_parts.append(m[:, 1])
+            id_parts.append(sh.pattern_id_map[m[:, 2]].astype(np.int64))
+            shard_parts.append(np.full(len(m), s, dtype=np.int64))
+            continue
+        take, ids, sub, sub_base = _map_ids(sh, m[:, 2])
         pos_parts.append(m[take, 0])
         step_parts.append(m[take, 1] * sub_base + sub)
         id_parts.append(ids)
