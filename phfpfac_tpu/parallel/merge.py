@@ -120,11 +120,32 @@ def merge_flat_matches(
         shard_parts.append(np.full(take.size, s, dtype=np.int64))
     if not pos_parts:
         return np.empty((0, 2), dtype=np.int64)
+
+    def _part_sorted(p, st):
+        """Part already (pos, step)-sorted? (decode_hits contract;
+        verified, not assumed — the turbo engine shares this merge)."""
+        if p.size < 2:
+            return True
+        dp = np.diff(p)
+        if (dp < 0).any():
+            return False
+        same = dp == 0
+        return not same.any() or bool((np.diff(st)[same] >= 0).all())
+
     pos = np.concatenate(pos_parts)
     ids = np.concatenate(id_parts)
-    shard = np.concatenate(shard_parts)
-    step = np.concatenate(step_parts)
-    order = np.lexsort((step, shard, pos))
+    # per-shard flats arrive (pos, step)-sorted (decode_hits contract),
+    # so the (pos, shard, step) ordering reduces to ONE stable sort by
+    # pos over the shard-major concat — stability preserves shard then
+    # step order at equal pos, and timsort's run detection makes
+    # sorting a concat of sorted runs near-linear (the 3-key lexsort
+    # was the match-dense merge bottleneck at ~14M rows)
+    if all(map(_part_sorted, pos_parts, step_parts)):
+        order = np.argsort(pos, kind="stable")
+    else:
+        shard = np.concatenate(shard_parts)
+        step = np.concatenate(step_parts)
+        order = np.lexsort((step, shard, pos))
     return np.stack([pos[order], ids[order]], axis=1)
 
 
