@@ -141,6 +141,12 @@ def merge_flat_matches(
     # sorting a concat of sorted runs near-linear (the 3-key lexsort
     # was the match-dense merge bottleneck at ~14M rows)
     if all(map(_part_sorted, pos_parts, step_parts)):
+        if len(pos_parts) == 1 or bool((np.diff(pos) >= 0).all()):
+            # already in (pos, shard, step) order (equal positions
+            # across shards land in concat = shard order): emit
+            # without sorting or permuting — at 14M match-dense rows
+            # the order-gathers alone cost seconds on this rig
+            return np.stack([pos, ids], axis=1)
         order = np.argsort(pos, kind="stable")
     else:
         shard = np.concatenate(shard_parts)
