@@ -118,3 +118,60 @@ def test_match_chunked_device_data():
     np.testing.assert_array_equal(want, got)
     got2 = m.match_chunked(data, chunk_bytes=8192)
     np.testing.assert_array_equal(want, got2)
+
+
+def test_merge_sorted_fast_path_matches_lexsort():
+    """The sorted-parts merge shortcuts (no-sort emit / single stable
+    argsort) must reproduce the (pos, shard, step) lexsort contract on
+    random multi-shard inputs, including ties at equal positions."""
+    from phfpfac_tpu.parallel import merge as M
+
+    words = [b"the", b"he", b"she", b"hers", b"a", b"an", b"and",
+             b"stream", b"rust", b"iron"]
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    compiled = compile_patterns(pats, PfacConfig(width=256, num_shards=3))
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        parts = []
+        for sh in compiled.shards:
+            k = int(rng.integers(0, 50))
+            pos = np.sort(rng.integers(0, 40, k))
+            step = rng.integers(0, 5, k)
+            # sort within part by (pos, step) — the decode contract
+            o = np.lexsort((step, pos))
+            local = rng.integers(0, sh.final_state_num, k)
+            parts.append(
+                np.stack([pos[o], step[o], local], axis=1).astype(np.int64)
+            )
+        got = M.merge_flat_matches(compiled, parts, 40)
+        # oracle: the explicit 3-key lexsort
+        pos = np.concatenate([p[:, 0] for p in parts])
+        step = np.concatenate([p[:, 1] for p in parts])
+        shard = np.concatenate(
+            [np.full(len(p), i) for i, p in enumerate(parts)]
+        )
+        ids = np.concatenate(
+            [
+                compiled.shards[i].pattern_id_map[p[:, 2]]
+                for i, p in enumerate(parts)
+            ]
+        ).astype(np.int64)
+        order = np.lexsort((step, shard, pos))
+        want = np.stack([pos[order], ids[order]], axis=1)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_merge_unsorted_parts_fall_back():
+    """Parts violating the (pos, step) order must take the lexsort
+    path and still produce contract order."""
+    from phfpfac_tpu.parallel import merge as M
+
+    compiled, _ = _setup()
+    sh = compiled.shards[0]
+    part = np.array(
+        [[5, 1, 0], [5, 0, 1], [2, 0, 0]], dtype=np.int64
+    )  # pos decreasing + step swap: unsorted
+    got = M.merge_flat_matches(compiled, [part], 40)
+    assert list(got[:, 0]) == [2, 5, 5]
+    ids = sh.pattern_id_map
+    assert list(got[:, 1]) == [ids[0], ids[1], ids[0]]
