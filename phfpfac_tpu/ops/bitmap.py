@@ -25,7 +25,65 @@ _BULK_POSITIONS = 1 << 19
 
 _count_fn = None
 _gather_fns: dict = {}
+_probe_fns: dict = {}
 _u8_fn = None
+
+# optimistic single-trip probe caps: counts AND up to this many
+# compacted hits come back in ONE dispatch+fetch (48 KB); only scans
+# whose hit count overflows pay a second, correctly-sized trip
+_PROBE_HITS = 4096
+_PROBE_BLOCKS = 1024
+
+
+def _device_probe(bits_dev, input_size: int):
+    """One dispatch: (hit count, past-low-byte count, hit-block count,
+    pos[_PROBE_HITS], bits[_PROBE_HITS]) — the sparse-regime fast path
+    resolves in a single device round trip (the tunnel here costs
+    ~40 ms per fetch, so trip count IS the sparse resolve latency).
+    Compaction is two-level over the per-1024-block any() mask (see
+    _device_gather)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = bits_dev.shape[0]
+    nb = n // _FETCH_BLOCK
+    cap_b = min(_PROBE_BLOCKS, nb)
+    fn = _probe_fns.get((n, cap_b))
+    if fn is None:
+
+        def f(b, m):
+            i = jax.lax.iota(jnp.int32, b.shape[0])
+            masked = jnp.where(i < m, b, 0)
+            blk = masked.reshape(nb, _FETCH_BLOCK)
+            bany = jnp.any(blk != 0, axis=1)
+            cnt = jnp.count_nonzero(masked)
+            high = jnp.count_nonzero(masked & ~0xFF)
+            nblk = jnp.count_nonzero(bany)
+            (bidx,) = jnp.nonzero(bany, size=cap_b, fill_value=nb)
+            g = jnp.where(
+                (bidx < nb)[:, None], blk[jnp.minimum(bidx, nb - 1)], 0
+            )
+            flat_n = cap_b * _FETCH_BLOCK
+            (hi,) = jnp.nonzero(
+                g.reshape(-1), size=_PROBE_HITS, fill_value=flat_n
+            )
+            safe = jnp.minimum(hi, flat_n - 1)
+            pos = bidx[safe // _FETCH_BLOCK] * _FETCH_BLOCK \
+                + safe % _FETCH_BLOCK
+            vals = g.reshape(-1)[safe]
+            pos = jnp.where(hi < flat_n, pos, n)
+            # ONE output array -> one host transfer (each fetch is a
+            # full tunnel round trip)
+            return jnp.concatenate(
+                [jnp.stack([cnt, high, nblk]), pos, vals]
+            )
+
+        fn = _probe_fns[(n, cap_b)] = jax.jit(f)
+    out = np.asarray(fn(bits_dev, jnp.int32(input_size)))
+    cnt, high, nblk = (int(v) for v in out[:3])
+    pos = out[3 : 3 + _PROBE_HITS].astype(np.int64)
+    vals = out[3 + _PROBE_HITS :]
+    return cnt, high, nblk, pos, vals
 
 
 def _device_counts(bits_dev, input_size: int) -> tuple:
@@ -126,29 +184,30 @@ def fetch_hit_bits(bits_dev, input_size: int):
 
     The device->host link here is the expensive resource (a tunnel
     with ~40 ms latency and limited bandwidth), and at realistic match
-    densities the per-position bitmap is almost entirely zero.  Three
-    regimes, cheapest transfer first:
+    densities the per-position bitmap is almost entirely zero.
+    Regimes, cheapest first:
 
-    * clustered/sparse — a per-block any() mask plus a gather of just
-      the hit blocks (two small transfers, no full-plane pass);
-    * spread-out hits (most 1024-blocks touched but few positions) —
-      a device-side count + ``nonzero(size=cap)`` compaction, so the
-      download is O(hits): 8 bytes per hit instead of 4 per position
-      (the reference instead materializes [input_size x max_pat_len]
-      match rows on device, master_kernel.cu:104-115);
+    * sparse (the realistic NIDS case) — ONE optimistic probe
+      dispatch returns counts AND up to _PROBE_HITS two-level-
+      compacted (pos, bits) pairs in a single fetch: most scans
+      resolve in one round trip;
+    * spread-out hits past the probe cap — a correctly-sized
+      two-level compaction (device nonzero over hit BLOCKS, then
+      within them; never over the full plane): the download is
+      O(hits), 8 bytes per hit (the reference instead materializes
+      [input_size x max_pat_len] match rows on device,
+      master_kernel.cu:104-115);
     * dense (hits past ~1/8 of positions, e.g. english dict over
       english text at 0.42 matches/byte) — the plane's LOW BYTE at
       1 B/position plus an exception list of the rare positions whose
       bitmap extends past bit 7 (matches longer than 8 bytes): 4x less
       transfer than the raw plane, ~2x less than 8 B/hit at 25%
       density;
-    * tiny planes — one bulk download (a count round trip costs more
-      than the plane).
+    * tiny planes — one bulk download (a probe round trip costs
+      more than the plane).
 
     Returns (hit_pos int64[], hit_bits uint32[]).
     """
-    import jax.numpy as jnp
-
     n = bits_dev.shape[0]
     assert n % _FETCH_BLOCK == 0  # scan outputs are TILE-granular
     nb = n // _FETCH_BLOCK
@@ -158,24 +217,23 @@ def fetch_hit_bits(bits_dev, input_size: int):
         pos = np.nonzero(flat[:input_size])[0].astype(np.int64)
         return pos, flat[pos]
 
-    blk = bits_dev.reshape(nb, _FETCH_BLOCK)
-    nz = np.asarray(jnp.any(blk != 0, axis=1))
-    idx = np.flatnonzero(nz)
-    if idx.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.uint32)
-    if idx.size <= max(nb // 4, 1):
-        sel = np.asarray(jnp.take(blk, jnp.asarray(idx), axis=0)).view(
-            np.uint32
-        )
-        p, j = np.nonzero(sel)
-        pos = (idx[p] * _FETCH_BLOCK + j).astype(np.int64)
-        keep = pos < input_size
-        return pos[keep], sel[p, j][keep]
     if n <= _BULK_POSITIONS:
         return bulk()
-    cnt, high, nblk = _device_counts(bits_dev, input_size)
+    # optimistic probe: counts + up to _PROBE_HITS compacted hits in a
+    # SINGLE dispatch + fetch — the sparse regime (the realistic NIDS
+    # case: few matches in a big corpus) resolves in one ~40 ms tunnel
+    # round trip instead of the old mask-fetch + block-gather-fetch
+    # pair
+    cnt, high, nblk, ppos, pvals = _device_probe(bits_dev, input_size)
     if cnt == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint32)
+    if (
+        cnt <= _PROBE_HITS
+        and nblk <= min(_PROBE_BLOCKS, nb)
+        and 8 * cnt <= input_size + 8 * high
+    ):
+        keep = ppos < input_size
+        return ppos[keep], pvals.view(np.uint32)[keep]
 
     def compacted(count, high_only):
         cap = 1 << (count - 1).bit_length()
