@@ -307,13 +307,34 @@ def main() -> None:
         "english": bench_english, "big": bench_big156,
         "binary": bench_binary,
     }
+    # per-regime deadline: the axon tunnel occasionally stalls
+    # mid-compute (observed r2 and r3 — a dispatched program never
+    # returns and the client burns no CPU); a SIGALRM deadline turns a
+    # would-be global hang into one regime's error entry so the driver
+    # still gets the other regimes' numbers
+    import signal
+
+    deadline = int(os.environ.get("PHFPFAC_BENCH_DEADLINE", "1800"))
+
+    def run_with_deadline(fn):
+        def handler(signum, frame):
+            raise TimeoutError(f"regime exceeded {deadline}s (tunnel stall?)")
+
+        old = signal.signal(signal.SIGALRM, handler)
+        signal.alarm(deadline)
+        try:
+            return fn()
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
     regimes: dict = {}
     for name in want:
         name = name.strip()
         if name not in runners:
             continue
         try:
-            regimes[name] = runners[name]()
+            regimes[name] = run_with_deadline(runners[name])
         except Exception as e:  # a broken side regime must not kill
             regimes[name] = {"error": f"{type(e).__name__}: {e}"}
 
