@@ -29,7 +29,11 @@ def main() -> None:
                     choices=["english", "xaa", "big", "full", "binary"])
     ap.add_argument("--untrained", action="store_true")
     ap.add_argument("--tpc", type=int, default=32)
-    ap.add_argument("--cond-from", type=int, default=4)
+    ap.add_argument("--cond-from", default="auto",
+                    help="step index or 'auto' (trained live-frac rule; "
+                         "the stale fixed-4 default undersold english "
+                         "by 13%% — conds at never-skipping steps cost "
+                         "an any_live reduction each)")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--compact", default="auto",
                     help='"auto", "off", a cut step, or "cut,cap"')
@@ -98,8 +102,11 @@ def main() -> None:
         compact = tuple(int(x) for x in compact.split(","))
     elif str(compact).isdigit():
         compact = int(compact)
+    cf = args.cond_from
+    if cf != "auto":
+        cf = int(cf)
     scan = plan_count_scanner(
-        shard, max_steps, tpc=args.tpc, cond_from=args.cond_from,
+        shard, max_steps, tpc=args.tpc, cond_from=cf,
         train=None if args.untrained else data[: 1 << 20],
         compact=compact,
     )
@@ -146,7 +153,7 @@ def main() -> None:
     glue_env = os.environ.get("PHFPFAC_GLUE")  # effective, not the flag
     print(
         f"[kexp] dict={args.dict} mib={args.mib} trained={not args.untrained} "
-        f"tpc={args.tpc} cf={args.cond_from}"
+        f"tpc={args.tpc} cf={scan.cond_from}"
         + (f" glue={glue_env}" if glue_env else "")
         + f" | {n/dt/1e9:.3f} GB/s "
         f"({dt*1e3:.2f} ms) matches={total} "
