@@ -337,9 +337,14 @@ def _run_steps(
         bound_side = (
             sp.kind == "pair" and bounding and sp.s_nb >= _GROUP_MIN_NB
         )
-        # the NEXT cond's pred is this step's post-update liveness,
-        # carried as a scalar so skipped steps pay nothing
-        need_alive = any_conds and si >= cond_from - 1
+        # the conds' pred is the liveness AFTER the last unconditional
+        # step, computed ONCE and reused: walkers only ever die, so a
+        # stale pred is a sound superset (never skips a live cell),
+        # and past the auto cond_from the live fraction is flat — the
+        # few surviving walkers rarely die mid-tail, so re-computing
+        # any_live per conded step bought ~nothing and cost a 32-tile
+        # max-reduction per step per cell (~35 vops; big156 paid 9)
+        need_alive = any_conds and si == cond_from - 1
         wshift = 3 if sp.s_nibble else 2
 
         def step(carry):
