@@ -23,7 +23,6 @@ _FETCH_BLOCK = 1024  # positions per sparsity block (n_pos granularity)
 # (~40 ms) the compacted path pays.
 _BULK_POSITIONS = 1 << 19
 
-_count_fn = None
 _gather_fns: dict = {}
 _probe_fns: dict = {}
 _u8_fn = None
@@ -86,30 +85,6 @@ def _device_probe(bits_dev, input_size: int):
     return cnt, high, nblk, pos, vals
 
 
-def _device_counts(bits_dev, input_size: int) -> tuple:
-    """(hit positions, positions past the low byte, hit 1024-blocks)
-    counts of bits_dev[:input_size], one dispatch."""
-    import jax
-    import jax.numpy as jnp
-
-    global _count_fn
-    if _count_fn is None:
-
-        def f(b, m):
-            i = jax.lax.iota(jnp.int32, b.shape[0])
-            masked = jnp.where(i < m, b, 0)
-            blk = masked.reshape(-1, _FETCH_BLOCK)
-            return (
-                jnp.count_nonzero(masked),
-                jnp.count_nonzero(masked & ~0xFF),
-                jnp.count_nonzero(jnp.any(blk != 0, axis=1)),
-            )
-
-        _count_fn = jax.jit(f)
-    c, h, nb = _count_fn(bits_dev, jnp.int32(input_size))
-    return int(c), int(h), int(nb)
-
-
 def _device_u8(bits_dev, input_size: int):
     """Low byte of every position's bitmap (1 B/position download)."""
     import jax
@@ -141,7 +116,8 @@ def _device_gather(bits_dev, input_size: int, cap: int,
     costs 374 ms at 32 MiB on this stack (XLA's general scatter path,
     bench/compact_attrib.py); the block mask reduction is a sequential
     pass and both nonzeros now run over thousands of elements.
-    ``cap_blocks`` bounds the hit-block count (from _device_counts).
+    ``cap_blocks`` bounds the hit-block count (from the probe's
+    block count).
     """
     import jax
     import jax.numpy as jnp
