@@ -123,17 +123,26 @@ def merge_flat_matches(
 
     def _part_sorted(p, st):
         """Part already (pos, step)-sorted? (decode_hits contract;
-        verified, not assumed — the turbo engine shares this merge)."""
+        verified, not assumed — the turbo engine shares this merge).
+        Written with slice views, not np.diff — every intermediate
+        allocation here costs real time at millions of rows on this
+        rig's first-touch-fault-heavy memory."""
         if p.size < 2:
             return True
-        dp = np.diff(p)
-        if (dp < 0).any():
+        a, b = p[:-1], p[1:]
+        if (b < a).any():
             return False
-        same = dp == 0
-        return not same.any() or bool((np.diff(st)[same] >= 0).all())
+        same = a == b
+        return not same.any() or bool(
+            (st[1:][same] >= st[:-1][same]).all()
+        )
 
-    pos = np.concatenate(pos_parts)
-    ids = np.concatenate(id_parts)
+    # single part: no concat copies needed at all
+    if len(pos_parts) == 1:
+        pos, ids = pos_parts[0], id_parts[0]
+    else:
+        pos = np.concatenate(pos_parts)
+        ids = np.concatenate(id_parts)
     # per-shard flats arrive (pos, step)-sorted (decode_hits contract),
     # so the (pos, shard, step) ordering reduces to ONE stable sort by
     # pos over the shard-major concat — stability preserves shard then
