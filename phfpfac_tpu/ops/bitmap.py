@@ -58,6 +58,9 @@ def _device_probe(bits_dev, input_size: int):
             cnt = jnp.count_nonzero(masked)
             high = jnp.count_nonzero(masked & ~0xFF)
             nblk = jnp.count_nonzero(bany)
+            nblk_high = jnp.count_nonzero(
+                jnp.any((blk & ~0xFF) != 0, axis=1)
+            )
             (bidx,) = jnp.nonzero(bany, size=cap_b, fill_value=nb)
             g = jnp.where(
                 (bidx < nb)[:, None], blk[jnp.minimum(bidx, nb - 1)], 0
@@ -74,15 +77,15 @@ def _device_probe(bits_dev, input_size: int):
             # ONE output array -> one host transfer (each fetch is a
             # full tunnel round trip)
             return jnp.concatenate(
-                [jnp.stack([cnt, high, nblk]), pos, vals]
+                [jnp.stack([cnt, high, nblk, nblk_high]), pos, vals]
             )
 
         fn = _probe_fns[(n, cap_b)] = jax.jit(f)
     out = np.asarray(fn(bits_dev, jnp.int32(input_size)))
-    cnt, high, nblk = (int(v) for v in out[:3])
-    pos = out[3 : 3 + _PROBE_HITS].astype(np.int64)
-    vals = out[3 + _PROBE_HITS :]
-    return cnt, high, nblk, pos, vals
+    cnt, high, nblk, nblk_high = (int(v) for v in out[:4])
+    pos = out[4 : 4 + _PROBE_HITS].astype(np.int64)
+    vals = out[4 + _PROBE_HITS :]
+    return cnt, high, nblk, nblk_high, pos, vals
 
 
 def _device_u8(bits_dev, input_size: int):
@@ -99,6 +102,30 @@ def _device_u8(bits_dev, input_size: int):
 
         _u8_fn = jax.jit(f)
     return _u8_fn(bits_dev, jnp.int32(input_size))
+
+
+def _device_gather_flat(bits_dev, input_size: int, cap: int,
+                        high_only: bool = False):
+    """Flat nonzero(size=cap) compaction — for regimes whose HIT
+    BLOCKS are not sparse (dense corpora touch every 1024-block, so
+    the two-level gather would materialize full-plane row-gathers;
+    the flat scan is one ~374 ms/32 MiB pass instead)."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = _gather_fns.get((cap, high_only, "flat"))
+    if fn is None:
+
+        def f(b, m):
+            i = jax.lax.iota(jnp.int32, b.shape[0])
+            masked = jnp.where(i < m, b, 0)
+            sel = masked & ~0xFF if high_only else masked
+            (idx,) = jnp.nonzero(sel, size=cap, fill_value=b.shape[0])
+            vals = masked[jnp.clip(idx, 0, b.shape[0] - 1)]
+            return idx, vals
+
+        fn = _gather_fns[(cap, high_only, "flat")] = jax.jit(f)
+    return fn(bits_dev, jnp.int32(input_size))
 
 
 def _device_gather(bits_dev, input_size: int, cap: int,
@@ -200,7 +227,9 @@ def fetch_hit_bits(bits_dev, input_size: int):
     # case: few matches in a big corpus) resolves in one ~40 ms tunnel
     # round trip instead of the old mask-fetch + block-gather-fetch
     # pair
-    cnt, high, nblk, ppos, pvals = _device_probe(bits_dev, input_size)
+    cnt, high, nblk, nblk_high, ppos, pvals = _device_probe(
+        bits_dev, input_size
+    )
     if cnt == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint32)
     if (
@@ -213,9 +242,18 @@ def fetch_hit_bits(bits_dev, input_size: int):
 
     def compacted(count, high_only):
         cap = 1 << (count - 1).bit_length()
-        cap_b = 1 << max(nblk - 1, 0).bit_length()
-        idx_d, vals_d = _device_gather(bits_dev, input_size, cap,
-                                       high_only, cap_blocks=cap_b)
+        blocks = nblk_high if high_only else nblk
+        if blocks > nb // 4:
+            # hit blocks are NOT sparse (dense corpora touch every
+            # 1024-block): the two-level gather would materialize
+            # full-plane row-gathers — one flat pass is cheaper
+            idx_d, vals_d = _device_gather_flat(
+                bits_dev, input_size, cap, high_only
+            )
+        else:
+            cap_b = 1 << max(blocks - 1, 0).bit_length()
+            idx_d, vals_d = _device_gather(bits_dev, input_size, cap,
+                                           high_only, cap_blocks=cap_b)
         pos = np.asarray(idx_d).astype(np.int64)
         hb = np.asarray(vals_d).view(np.uint32)
         keep = pos < input_size  # drops the fill slots (index n)
