@@ -33,7 +33,7 @@ number.  Throughput counts scanned input bytes, excluding the
 one-time host->device table/corpus upload exactly as the reference's
 kernel number excludes its H2D copies.
 
-Env: PHFPFAC_BENCH_REGIMES comma-list subsets {english,big,binary}
+Env: PHFPFAC_BENCH_REGIMES comma-list subsets {english,big,binary,random}
 (default all three); PHFPFAC_BENCH_AB=0 skips the english plain-vs-
 compacted A/B under tight time budgets.
 """
@@ -295,17 +295,66 @@ def bench_binary() -> dict:
     }
 
 
+def bench_random() -> dict:
+    """Clean-traffic regime: the full english dictionary over 32 MiB
+    uniform random bytes.  Walkers die at depth 1-2, so the scan is
+    prologue-bound — the regime PERF.md's roofline puts at the
+    10-15 GB/s end of the rate range; measuring it pins the
+    early-death ceiling on the SAME tables the headline regime uses
+    (the reference's kernel has the same workload dependence:
+    master_kernel.cu:49-72 threads die at their own depth)."""
+    import jax.numpy as jnp
+
+    from phfpfac_tpu.frontend.patterns import Pattern
+    from phfpfac_tpu.ops.common import pad_input, padded_steps
+    from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+
+    sys.path.insert(0, "/root/repo/bench")
+    from corpora import load_words
+
+    words = load_words("english")
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    compiled, shard = _compile_shard(pats)
+
+    data = np.random.default_rng(3).integers(
+        0, 256, 32 << 20, dtype=np.uint8
+    ).tobytes()
+    n = len(data)
+    max_steps = padded_steps(compiled.max_pat_len)
+    padded = pad_input(data, 1024, max_steps)
+    scan = plan_count_scanner(shard, max_steps, train=data[: 1 << 20])
+    dev = scan.prepare(padded, n)
+    total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
+    dt = _time_count_scan(scan.scan, dev, n)
+    if scan.check_overflow():
+        scan = plan_count_scanner(
+            shard, max_steps, train=data[: 1 << 20], compact="off"
+        )
+        dev = scan.prepare(padded, n)
+        total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
+        dt = _time_count_scan(scan.scan, dev, n)
+    dt_disp, dt = dt, _best_time(scan, dev, n, dt)
+    return {
+        "gbs": round(n / dt / 1e9, 4),
+        "patterns": len(pats),
+        "input_bytes": n,
+        "matches": total,
+        "median_scan_ms": round(dt * 1e3, 3),
+        "dispatch_scan_ms": round(dt_disp * 1e3, 3),
+    }
+
+
 def main() -> None:
     from phfpfac_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
 
     want = os.environ.get(
-        "PHFPFAC_BENCH_REGIMES", "english,big,binary"
+        "PHFPFAC_BENCH_REGIMES", "english,big,binary,random"
     ).split(",")
     runners = {
         "english": bench_english, "big": bench_big156,
-        "binary": bench_binary,
+        "binary": bench_binary, "random": bench_random,
     }
     # per-regime deadline: the axon tunnel occasionally stalls
     # mid-compute (observed r2 and r3 — a dispatched program never

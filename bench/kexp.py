@@ -35,6 +35,11 @@ def main() -> None:
                          "by 13%% — conds at never-skipping steps cost "
                          "an any_live reduction each)")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--corpus", default="text",
+                    choices=["text", "random"],
+                    help="'random' = uniform bytes (walkers die at "
+                         "depth 1-2; the prologue-bound north-star "
+                         "regime of PERF.md's roofline)")
     ap.add_argument("--compact", default="auto",
                     help='"auto", "off", a cut step, or "cut,cap"')
     ap.add_argument("--glue", default=None, choices=["nonzero", "mxu"],
@@ -90,6 +95,12 @@ def main() -> None:
             s = words[i % len(words)]
             buf[i : i + len(s)] = s
         data = bytes(buf)
+    elif args.corpus == "random":
+        import numpy as _np
+
+        data = _np.random.default_rng(3).integers(
+            0, 256, args.mib << 20, dtype=_np.uint8
+        ).tobytes()
     else:
         data = corpus(args.mib)
     n = len(data)
@@ -152,7 +163,9 @@ def main() -> None:
 
     glue_env = os.environ.get("PHFPFAC_GLUE")  # effective, not the flag
     print(
-        f"[kexp] dict={args.dict} mib={args.mib} trained={not args.untrained} "
+        f"[kexp] dict={args.dict} mib={args.mib} "
+        + (f"corpus={args.corpus} " if args.corpus != "text" else "")
+        + f"trained={not args.untrained} "
         f"tpc={args.tpc} cf={scan.cond_from}"
         + (f" glue={glue_env}" if glue_env else "")
         + f" | {n/dt/1e9:.3f} GB/s "

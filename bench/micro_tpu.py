@@ -131,18 +131,6 @@ def bench_pallas_gather():
               flush=True)
 
 
-if __name__ == "__main__":
-    print("devices:", jax.devices(), flush=True)
-    if "--ilp" in sys.argv:
-        bench_vpu_ilp()
-    else:
-        bench_gather()
-        bench_gather_2d()
-        bench_pallas_gather()
-        bench_scan_1mb()
-        bench_vpu_ilp()
-
-
 def bench_vpu_ilp():
     """Peak (8,128)-int32 vop issue rate vs dependency structure.
 
@@ -233,3 +221,15 @@ def bench_vpu_ilp():
     print(f"  {'probe triple':24s} {dt*1e3:8.3f} ms  "
           f"{total/dt/1e9:6.2f} Gvop/s (3 vops/bank accounting)",
           flush=True)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    if "--ilp" in sys.argv:
+        bench_vpu_ilp()
+    else:
+        bench_gather()
+        bench_gather_2d()
+        bench_pallas_gather()
+        bench_scan_1mb()
+        bench_vpu_ilp()

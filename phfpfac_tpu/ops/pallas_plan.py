@@ -74,18 +74,84 @@ def _bank_outer() -> bool:
     gathers all ``tpc`` tiles from it; the original tile-outer order
     re-reads every row per tile.  MEASURED WORSE on v5e across every
     regime (32 MiB chained: binary 30.9 vs 21.9 ms, big156 16.6 vs
-    13.0, english 128 MiB 47.9 vs 39.3) — the per-tile probe chains
-    are independent instruction streams Mosaic pipelines well, while
-    the shared row read serializes them; the saved issue slots don't
-    pay for the lost ILP.  Default OFF; ``PHFPFAC_BANK_OUTER=1``
-    re-enables for A/B."""
+    13.0, english 128 MiB 47.9 vs 39.3) — interleaving ALL 32 tiles'
+    probe state blows the vector register file and Mosaic spills.
+    Default OFF; ``PHFPFAC_BANK_OUTER=1`` re-enables for A/B.  The
+    PAYING order is the middle ground: see _tile_block()."""
     return os.environ.get("PHFPFAC_BANK_OUTER", "0") == "1"
+
+
+def _tile_block(tpc: int) -> int:
+    """Probe-chain interleave width (trace-time knob).
+
+    The per-tile banked probe is a serial select chain (each bank's
+    ``where`` depends on the previous), so a lone chain runs at the
+    VPU's dependent-op LATENCY, not its issue rate: bench/ilp_probe.py
+    measures the (row, take_along_axis, where) triple at 0.27 G/s
+    traced tile-by-tile but 1.2-1.8 G/s when 2-8 independent tile
+    chains interleave per bank row — Mosaic schedules close to trace
+    order, so the interleave must happen at trace level.  Full
+    bank-outer (all 32 tiles) spills the register file (measured
+    worse, see _bank_outer); small blocks keep the working set a few
+    vregs while covering the chain latency.  ``PHFPFAC_TILE_BLOCK``
+    overrides for A/B."""
+    v = os.environ.get("PHFPFAC_TILE_BLOCK")
+    if v:
+        return max(1, min(tpc, int(v)))
+    return min(tpc, _TILE_BLOCK_DEFAULT)
+
+
+_TILE_BLOCK_DEFAULT = 1  # flipped after hardware A/B (bench/kexp.py)
+
+
+def _finish_block(tpc: int) -> int:
+    """Interleave width for the verify/update (finish) chains —
+    follows _tile_block unless ``PHFPFAC_FINISH_BLOCK`` overrides
+    (separate knob so the probe and finish contributions can be
+    attributed independently on hardware)."""
+    v = os.environ.get("PHFPFAC_FINISH_BLOCK")
+    if v:
+        return max(1, min(tpc, int(v)))
+    return _tile_block(tpc)
+
+
+def trace_knob_state() -> str:
+    """Resolved values of every trace-time knob that alters the
+    compiled scan programs.  Part of the AOT artifact key
+    (utils/aot._key): an artifact exported under one knob setting
+    must never serve a process running another — the knobs change
+    kernel code, not just numerics."""
+    return repr((
+        ("bank_outer", _bank_outer()),
+        ("finish_block", os.environ.get("PHFPFAC_FINISH_BLOCK", "")),
+        ("glue", _glue_mode()),
+        ("gmode", _default_gmode()),
+        ("probe_merge", _probe_merge()),
+        ("tile_block", os.environ.get("PHFPFAC_TILE_BLOCK",
+                                      str(_TILE_BLOCK_DEFAULT))),
+    ))
 
 
 def _lut_multi(banks_ref, idxs, nb: int, off: int = 0, k0: int = 0):
     """pallas_scan._lut over ALL tiles at once, bank-outer order."""
     accs = [jnp.full(idxs[0].shape, -1, dtype=jnp.int32) for _ in idxs]
     return _lut_range_multi(banks_ref, idxs, accs, 0, nb, off, k0)
+
+
+def _lut_blocked(banks_ref, idxs, nb: int, off: int = 0, k0: int = 0):
+    """_lut over all tiles, interleaved in _tile_block()-sized blocks
+    (covers the select chain's latency without spilling — see
+    _tile_block)."""
+    tpc = len(idxs)
+    if _bank_outer():
+        return _lut_multi(banks_ref, idxs, nb, off, k0)
+    bl = _tile_block(tpc)
+    if bl <= 1:
+        return [_lut(banks_ref, idxs[i], nb, off, k0) for i in range(tpc)]
+    out = []
+    for b0 in range(0, tpc, bl):
+        out.extend(_lut_multi(banks_ref, idxs[b0:b0 + bl], nb, off, k0))
+    return out
 
 
 def _lut_range_multi(banks_ref, idxs, accs, lo: int, hi: int,
@@ -102,6 +168,20 @@ def _lut_range_multi(banks_ref, idxs, accs, lo: int, hi: int,
             g = jnp.take_along_axis(row, lanes[i], axis=1)
             accs[i] = jnp.where(banks[i] == k + k0, g, accs[i])
     return accs
+
+
+def _tree_max(xs: list):
+    """Balanced pairwise max over tiles: log2(n) dependency depth
+    instead of the serial fold's n (the fold's latency chain costs
+    ~3 cycles/link on v5e — see _tile_block on why Mosaic does not
+    reorder it away)."""
+    xs = list(xs)
+    while len(xs) > 1:
+        xs = [
+            jnp.maximum(xs[i], xs[i + 1]) if i + 1 < len(xs) else xs[i]
+            for i in range(0, len(xs), 2)
+        ]
+    return xs[0]
 
 
 def _group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
@@ -160,10 +240,7 @@ def _run_steps(
         are >= the table's dead-zone span (> 0, by construction),
         so one max-tree + scalar compare replaces per-tile
         compare/or chains."""
-        t = disps[0]
-        for d in disps[1:]:
-            t = jnp.maximum(t, d)
-        return jnp.max(t) != p0_miss
+        return jnp.max(_tree_max(disps)) != p0_miss
 
     def probe_bounded(ref, idxs, off: int, nb: int, k0: int,
                       hot: int = 0):
@@ -174,10 +251,7 @@ def _run_steps(
         indices fall in the dead zone below k0's first boundary —
         the bound is a plain unmasked max (no live-masking vops)
         and dead lanes read the -1 init (miss)."""
-        t = idxs[0]
-        for m in idxs[1:]:
-            t = jnp.maximum(t, m)
-        mx = jnp.max(t)  # scalar: max probe idx (dead stay below k0)
+        mx = jnp.max(_tree_max(idxs))  # max probe idx (dead below k0)
         banks = [idx >> 7 for idx in idxs]
         lanes = [idx & (_LANE - 1) for idx in idxs]
         if gmode == "loop":
@@ -226,6 +300,15 @@ def _run_steps(
                     _lut_range_multi(ref, idxs, list(accs), lo, hi,
                                      off, k0)
                 )
+            bl = _tile_block(tpc)
+            if bl > 1:
+                out = []
+                for b0 in range(0, tpc, bl):
+                    out.extend(_lut_range_multi(
+                        ref, idxs[b0:b0 + bl], list(accs[b0:b0 + bl]),
+                        lo, hi, off, k0,
+                    ))
+                return tuple(out)
             return tuple(
                 _lut_range(ref, idxs[i], accs[i], lo, hi, off, k0)
                 for i in range(tpc)
@@ -330,6 +413,76 @@ def _run_steps(
             )
         return disp, out
 
+    def finish_blk(sp, curs, disps, outs, gs, ws, ok2s):
+        """finish() over a block of tiles, traced OP-WISE (each op for
+        every tile in the block before the next op): like the probe's
+        _tile_block interleave, this covers the verify/update chain's
+        op latency with the neighbours' independent work instead of
+        stalling on it (see _tile_block)."""
+        m = len(curs)
+        bit0 = sp.depth0 - 1
+        if sp.kind == "mono":
+            syms = [c & cbm for c in curs]
+            gss = [g & (cbm | (1 << cb)) for g in gs]
+            fins = [gss[i] == (syms[i] | (1 << cb)) for i in range(m)]
+            hits = [(gss[i] == syms[i]) | fins[i] for i in range(m)]
+            if emit_bitmap:
+                outs = [
+                    outs[i] | jnp.where(fins[i], jnp.int32(1) << bit0, 0)
+                    for i in range(m)
+                ]
+            else:
+                outs = [outs[i] + fins[i].astype(jnp.int32)
+                        for i in range(m)]
+            disps = [
+                jnp.where(
+                    hits[i],
+                    jax.lax.shift_right_logical(gs[i], cb + 1), sp.miss,
+                )
+                for i in range(m)
+            ]
+            return disps, outs
+        a1s = [c & cbm for c in curs]
+        sidxs = [disps[i] + a1s[i] for i in range(m)]
+        if sp.s_nibble:
+            fms = [
+                (jax.lax.shift_right_logical(ws[i], (sidxs[i] & 7) << 2)
+                 & 15) == (a1s[i] & 7) + 1
+                for i in range(m)
+            ]
+        else:
+            fms = [
+                (jax.lax.shift_right_logical(ws[i], (sidxs[i] & 3) << 3)
+                 & 255) == a1s[i] + 1
+                for i in range(m)
+            ]
+        gss = [g & (pair_mask | (1 << (2 * cb))) for g in gs]
+        fes = [gss[i] == (curs[i] | (1 << (2 * cb))) for i in range(m)]
+        hits = [(gss[i] == curs[i]) | fes[i] for i in range(m)]
+        if ok2s is not None:
+            hits = [hits[i] & ok2s[i] for i in range(m)]
+            fes = [fes[i] & ok2s[i] for i in range(m)]
+        if emit_bitmap:
+            outs = [
+                outs[i]
+                | jnp.where(fms[i], jnp.int32(1) << bit0, 0)
+                | jnp.where(fes[i], jnp.int32(1) << (bit0 + 1), 0)
+                for i in range(m)
+            ]
+        else:
+            outs = [
+                outs[i] + fms[i].astype(jnp.int32) + fes[i].astype(jnp.int32)
+                for i in range(m)
+            ]
+        disps = [
+            jnp.where(
+                hits[i],
+                jax.lax.shift_right_logical(gs[i], 2 * cb + 1), sp.miss,
+            )
+            for i in range(m)
+        ]
+        return disps, outs
+
     def make_step(si: int, sp):
         off_chars = sp.depth0 - 1
         bounding = grouped and gmode != "none"
@@ -366,13 +519,8 @@ def _run_steps(
                     m_ref, idxs, sp.off, sp.nb, sp.k0,
                     hot=sp.hot_nb,
                 )
-            elif _bank_outer():
-                gs = _lut_multi(m_ref, idxs, sp.nb, sp.off, sp.k0)
             else:
-                gs = [
-                    _lut(m_ref, idxs[i], sp.nb, sp.off, sp.k0)
-                    for i in range(tpc)
-                ]
+                gs = _lut_blocked(m_ref, idxs, sp.nb, sp.off, sp.k0)
             ws = [None] * tpc
             if sp.kind == "pair":
                 widxs = [
@@ -386,22 +534,29 @@ def _run_steps(
                         s_ref, widxs, sp.s_off, sp.s_nb,
                         sp.s_k0, hot=sp.s_hot_nb,
                     )
-                elif _bank_outer():
-                    ws = _lut_multi(s_ref, widxs, sp.s_nb, sp.s_off,
-                                    sp.s_k0)
                 else:
-                    ws = [
-                        _lut(s_ref, widxs[i], sp.s_nb, sp.s_off,
-                             sp.s_k0)
-                        for i in range(tpc)
-                    ]
-            for i in range(tpc):
-                ok2 = None
-                if seg_on and sp.kind == "pair":
-                    ok2 = d_s[i] > off_chars + 1
-                disps[i], outs[i] = finish(
-                    sp, curs[i], disps[i], outs[i], gs[i], ws[i], ok2
-                )
+                    ws = _lut_blocked(s_ref, widxs, sp.s_nb, sp.s_off,
+                                      sp.s_k0)
+            fb = _finish_block(tpc)
+            if fb > 1:
+                for b0 in range(0, tpc, fb):
+                    sl = slice(b0, b0 + fb)
+                    ok2s = None
+                    if seg_on and sp.kind == "pair":
+                        ok2s = [d_s[i] > off_chars + 1
+                                for i in range(b0, min(b0 + fb, tpc))]
+                    disps[sl], outs[sl] = finish_blk(
+                        sp, curs[sl], disps[sl], outs[sl], gs[sl],
+                        ws[sl], ok2s,
+                    )
+            else:
+                for i in range(tpc):
+                    ok2 = None
+                    if seg_on and sp.kind == "pair":
+                        ok2 = d_s[i] > off_chars + 1
+                    disps[i], outs[i] = finish(
+                        sp, curs[i], disps[i], outs[i], gs[i], ws[i], ok2
+                    )
             alive = any_live(disps) if need_alive else carry[2]
             return (tuple(disps), tuple(outs), alive)
 
@@ -488,18 +643,15 @@ def _make_plan_kernel(
         # plan-wide dead sentinel (compile.plan builds every table
         # strictly below it).
         disps, outs = [], []
-        if _bank_outer():
-            curs0 = [tile_a(i) for i in range(tpc)]
-            vs0 = _lut_multi(
-                p0_ref,
-                curs0 if p0_mode == "dense"
-                else [c & cbm for c in curs0],
-                nb_p0,
-            )
+        curs0 = [tile_a(i) for i in range(tpc)]
+        vs0 = _lut_blocked(
+            p0_ref,
+            curs0 if p0_mode == "dense" else [c & cbm for c in curs0],
+            nb_p0,
+        )
         for i in range(tpc):
-            cur = tile_a(i)
             if p0_mode == "dense":
-                v = vs0[i] if _bank_outer() else _lut(p0_ref, cur, nb_p0)
+                v = vs0[i]
                 alive = v >= 0
                 fin1 = alive & ((v & 1) == 1)
                 fin2 = alive & ((v & 2) == 2)
@@ -519,10 +671,7 @@ def _make_plan_kernel(
                     )
                 )
             else:
-                v = (
-                    vs0[i] if _bank_outer()
-                    else _lut(p0_ref, cur & cbm, nb_p0)
-                )
+                v = vs0[i]
                 alive = v >= 0
                 fin1 = alive & ((v & 1) == 1)
                 outs.append(fin1.astype(jnp.int32))
@@ -556,11 +705,19 @@ def _make_plan_kernel(
             else:
                 (partial_ref,) = out_refs
             shift = shift_ref[0]
-            acc = jnp.zeros((_SUB, _LANE), jnp.int32)
+            parts = []
             for i in range(tpc):
                 pos = (cell * tpc + i) * TILE + sub * _LANE + lane
-                acc = acc + jnp.where(pos >= shift, outs[i], 0)
-            partial_ref[:, :] = acc
+                parts.append(jnp.where(pos >= shift, outs[i], 0))
+            # balanced add tree: the serial fold's 32-link latency
+            # chain costs real cycles (see _tree_max)
+            while len(parts) > 1:
+                parts = [
+                    parts[i] + parts[i + 1] if i + 1 < len(parts)
+                    else parts[i]
+                    for i in range(0, len(parts), 2)
+                ]
+            partial_ref[:, :] = parts[0]
         if emit_surv:
             # displacements entering the first phase-B step (0 = dead):
             # the compacted continuation picks these up after the glue

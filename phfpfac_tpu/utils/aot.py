@@ -53,9 +53,12 @@ def aot_dir() -> pathlib.Path:
 def _key(name: str, statics: dict, args: tuple) -> str:
     import jax
 
+    from phfpfac_tpu.ops.pallas_plan import trace_knob_state
+
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
     h.update(jax.default_backend().encode())
+    h.update(trace_knob_state().encode())  # env knobs change kernels
     h.update(repr(sorted(statics.items())).encode())
     for a in args:
         h.update(f"{a.shape}|{a.dtype};".encode())
