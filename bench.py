@@ -297,12 +297,16 @@ def bench_binary() -> dict:
 
 def bench_random() -> dict:
     """Clean-traffic regime: the full english dictionary over 32 MiB
-    uniform random bytes.  Walkers die at depth 1-2, so the scan is
-    prologue-bound — the regime PERF.md's roofline puts at the
-    10-15 GB/s end of the rate range; measuring it pins the
-    early-death ceiling on the SAME tables the headline regime uses
-    (the reference's kernel has the same workload dependence:
-    master_kernel.cu:49-72 threads die at their own depth)."""
+    uniform random bytes.  Walkers die at depth 1-2 — but measured
+    2.75 GB/s (r3b), NOT the 10-15 the round-2 roofline guessed for
+    early death: training on uniform bytes makes EVERY class hot
+    (full-width hot spans at the shallow steps), and with 32k-walker
+    cells the conded steps keep firing while any walker lives.  The
+    regime pins the clean-traffic end of the rate range on the same
+    tables as the headline (the reference's kernel has the same
+    workload dependence: master_kernel.cu:49-72 threads die at their
+    own depth); narrow-dictionary prologue-bound rates are measured
+    separately (kexp --head, PERF.md)."""
     import jax.numpy as jnp
 
     from phfpfac_tpu.frontend.patterns import Pattern

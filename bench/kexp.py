@@ -38,8 +38,14 @@ def main() -> None:
     ap.add_argument("--corpus", default="text",
                     choices=["text", "random"],
                     help="'random' = uniform bytes (walkers die at "
-                         "depth 1-2; the prologue-bound north-star "
-                         "regime of PERF.md's roofline)")
+                         "depth 1-2; measured 2.75 GB/s on the full "
+                         "english dict — trained-on-random degrades "
+                         "hot spans to full width, see PERF.md)")
+    ap.add_argument("--head", type=int, default=0,
+                    help="truncate the dictionary to its first N "
+                         "patterns (narrow-table regimes: small "
+                         "rulesets have 1-2-bank shallow tables and "
+                         "probe at the prologue bound)")
     ap.add_argument("--compact", default="auto",
                     help='"auto", "off", a cut step, or "cut,cap"')
     ap.add_argument("--glue", default=None, choices=["nonzero", "mxu"],
@@ -79,6 +85,8 @@ def main() -> None:
         words = load_words(
             args.dict, cap32=args.dict in ("big", "full")
         )
+    if args.head:
+        words = words[: args.head]
     pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
     cfg = PfacConfig(width=4096, num_shards=1)
     compiled = compile_patterns(pats, cfg)
