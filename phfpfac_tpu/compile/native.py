@@ -26,18 +26,39 @@ from phfpfac_tpu.utils.config import CHAR_SET, HASHTABLE_MAX
 _DIR = Path(__file__).parent / "_native"
 _SRC = _DIR / "pfac_native.cpp"
 _SO = _DIR / "libpfac_native.so"
+_FP = _DIR / "libpfac_native.fp"  # build fingerprint sidecar
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _failed = False
 
 
-def _build() -> None:
+def _fingerprint() -> str:
+    """Source + toolchain + machine fingerprint: the .so is built with
+    -march=native and must never be loaded on a different host/ISA or
+    against different source (ADVICE r3 — mtime alone can't tell; the
+    binary is untracked in git so checkouts never ship one)."""
+    import hashlib
+    import platform
+
+    h = hashlib.sha256(_SRC.read_bytes())
+    try:
+        gxx = subprocess.run(
+            ["g++", "--version"], capture_output=True, text=True
+        ).stdout.splitlines()[0]
+    except Exception:
+        gxx = "no-g++"
+    h.update(f"|{gxx}|{platform.machine()}|{platform.node()}".encode())
+    return h.hexdigest()
+
+
+def _build(fp: str) -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
         "-std=c++17", str(_SRC), "-o", str(_SO),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    _FP.write_text(fp)
 
 
 def _load() -> ctypes.CDLL | None:
@@ -51,8 +72,10 @@ def _load() -> ctypes.CDLL | None:
             _failed = True
             return None
         try:
-            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-                _build()
+            fp = _fingerprint()
+            if not _SO.exists() or not _FP.exists() or \
+                    _FP.read_text() != fp:
+                _build(fp)
             lib = ctypes.CDLL(str(_SO))
             lib.pfac_build_trie.restype = ctypes.c_int64
             lib.pfac_build_trie.argtypes = [
