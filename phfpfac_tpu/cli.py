@@ -87,8 +87,6 @@ def main(argv: list[str] | None = None) -> int:
 
         initialize(args.coordinator, args.num_processes, args.process_id)
     num_shards = args.num_shards or 4 * args.streamnum
-    if args.charset:
-        num_shards = 1  # charset DFAs compile as one shard
     interpret = False
     if args.engine == "pallas":
         import jax

@@ -58,6 +58,7 @@ class ShardTables:
         dense: np.ndarray | None = None,  # int32 [state_num, 256] trie table
         patterns: list | None = None,  # sorted pattern bytes (bitmap decode)
         output_lists: dict | None = None,  # final -> ALL ids (charset)
+        final_depths: np.ndarray | None = None,  # int32 [k] match length
     ):
         self.state_num = state_num
         self.final_state_num = final_state_num
@@ -67,6 +68,7 @@ class ShardTables:
         self.pattern_id_map = pattern_id_map
         self.patterns = patterns
         self.output_lists = output_lists
+        self.final_depths = final_depths
         self._r, self._ht, self._val, self._ht_size = r, ht, val, ht_size
         self._dense = dense
         if r is None and dense is None and (
@@ -168,6 +170,10 @@ class CompiledDictionary:
     # populated by Matcher.built_plan_tables() after a scan, serialized
     # as format v3 so a fresh process skips the trie + plan build
     plan_tables: list | None = None
+    # charset (NFA->DFA) dictionaries merge in the canonical
+    # (pos, length, id) order — the only shard-count-invariant order
+    # when patterns have no memcmp sort (see parallel/merge.py)
+    charset: bool = False
 
     @property
     def num_shards(self) -> int:
@@ -198,6 +204,7 @@ class CompiledDictionary:
             "max_pat_len": self.max_pat_len,
             "num_patterns": self.num_patterns,
             "width": self.width,
+            "charset": self.charset,
             "shards": [],
         }
         for i, sh in enumerate(self.shards):
@@ -220,6 +227,8 @@ class CompiledDictionary:
                 meta["shards"][-1]["output_lists"] = {
                     str(k): v for k, v in sh.output_lists.items()
                 }
+            if sh.final_depths is not None:
+                arrays[f"shard{i}_final_depths"] = sh.final_depths
             if sh.patterns is not None:
                 blob = b"".join(sh.patterns)
                 offs = np.cumsum([0] + [len(p) for p in sh.patterns])
@@ -276,6 +285,10 @@ class CompiledDictionary:
                             if "output_lists" in m
                             else None
                         ),
+                        final_depths=(
+                            z[f"shard{i}_final_depths"]
+                            if f"shard{i}_final_depths" in z else None
+                        ),
                     )
                 )
         return cls(
@@ -287,6 +300,7 @@ class CompiledDictionary:
                 plan_tables if any(p is not None for p in plan_tables)
                 else None
             ),
+            charset=meta.get("charset", False),
         )
 
 
@@ -375,35 +389,63 @@ def compile_patterns(
 def compile_class_patterns(class_patterns, config: PfacConfig) -> CompiledDictionary:
     """Compile charset-class patterns (frontend.charset) into device tables.
 
-    The determinized automaton is a single shard (the reference's
-    charset pipeline predates sharding; splitting a subset-construction
-    DFA is future work).  Multi-output final states are carried in
-    ``output_lists`` and expanded at merge time.
+    Sharding: class patterns have no memcmp order (their elements are
+    byte SETS), so the contiguous split runs in FILE order and each
+    group is determinized into its own DFA shard — the sharding applies
+    to every dictionary kind, as in the reference
+    (create_table_reorder.c:253-274).  Output stays shard-count
+    invariant because charset dictionaries merge in the canonical
+    (pos, match length, pattern id) order (``CompiledDictionary.
+    charset``; parallel/merge.py) — which equals the single-shard
+    shard-major order, since a DFA final's output list is
+    ascending-pid and all its patterns share one length.
+    Multi-output final states are carried in ``output_lists`` and
+    expanded at merge time.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from phfpfac_tpu.frontend.charset import build_class_trie
 
-    if config.num_shards != 1:
-        raise ValueError("charset dictionaries compile as a single shard")
-    ct = build_class_trie(class_patterns)
-    phf = build_phf(ct.table, config.width)
-    shard = ShardTables(
-        state_num=ct.state_num,
-        final_state_num=ct.final_state_num,
-        max_pat_len=ct.max_pat_len,
-        width=phf.width,
-        ht_size=phf.ht_size,
-        s0=np.ascontiguousarray(ct.table[ct.initial_state], dtype=np.int32),
-        r=phf.r,
-        ht=phf.ht if phf.ht_size else np.full(1, -1, np.int32),
-        val=phf.val if phf.ht_size else np.full(1, -1, np.int32),
-        pattern_id_map=ct.pattern_id_map,
-        output_lists=ct.output_lists,
-    )
+    n_sh = max(config.num_shards, 1)
+    k = len(class_patterns) // n_sh
+    groups = [
+        class_patterns[i * k : (i + 1) * k] for i in range(n_sh - 1)
+    ]
+    groups.append(class_patterns[(n_sh - 1) * k :])
+
+    def build_one(grp):
+        ct = build_class_trie(grp)
+        phf = build_phf(ct.table, config.width)
+        return ShardTables(
+            state_num=ct.state_num,
+            final_state_num=ct.final_state_num,
+            max_pat_len=ct.max_pat_len,
+            width=phf.width,
+            ht_size=phf.ht_size,
+            s0=np.ascontiguousarray(
+                ct.table[ct.initial_state], dtype=np.int32
+            ),
+            r=phf.r,
+            ht=phf.ht if phf.ht_size else np.full(1, -1, np.int32),
+            val=phf.val if phf.ht_size else np.full(1, -1, np.int32),
+            pattern_id_map=ct.pattern_id_map,
+            output_lists=ct.output_lists,
+            final_depths=ct.final_depths,
+        )
+
+    if len(groups) > 1:
+        with ThreadPoolExecutor(
+            max_workers=min(len(groups), os.cpu_count() or 4)
+        ) as pool:
+            shards = list(pool.map(build_one, groups))
+    else:
+        shards = [build_one(g) for g in groups]
     return CompiledDictionary(
-        shards=[shard],
-        max_pat_len=ct.max_pat_len,
+        shards=shards,
+        max_pat_len=max((sh.max_pat_len for sh in shards), default=0),
         num_patterns=len(class_patterns),
         width=config.width,
+        charset=True,
     )
 
 

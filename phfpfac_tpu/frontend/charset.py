@@ -162,6 +162,7 @@ class ClassTrie:
     max_pat_len: int
     pattern_id_map: np.ndarray  # int32 [F]: final -> primary global id
     output_lists: dict[int, list[int]]  # final -> ALL global ids
+    final_depths: np.ndarray  # int32 [F]: final -> match length (bytes)
 
     @property
     def initial_state(self) -> int:
@@ -238,6 +239,8 @@ def build_class_trie(patterns: list[ClassPattern]) -> ClassTrie:
 
     pattern_id_map = np.zeros(max(F, 0), dtype=np.int32)
     output_lists: dict[int, list[int]] = {}
+    final_depths = np.zeros(max(F, 0), dtype=np.int32)
+    len_of = {p.pattern_id: len(p.classes) for p in patterns}
     for i, sub in enumerate(order):
         if not is_final[i]:
             continue
@@ -245,6 +248,10 @@ def build_class_trie(patterns: list[ClassPattern]) -> ClassTrie:
         fidx = int(number[i])
         pattern_id_map[fidx] = ids[0]
         output_lists[fidx] = ids
+        # every NFA node in a subset sits at the same walk depth, so a
+        # final's matches all share one length — recorded for the
+        # shard-count-invariant (pos, length, id) merge order
+        final_depths[fidx] = len_of[ids[0]]
     return ClassTrie(
         table=table,
         state_num=state_count,
@@ -252,4 +259,5 @@ def build_class_trie(patterns: list[ClassPattern]) -> ClassTrie:
         max_pat_len=max_len,
         pattern_id_map=pattern_id_map,
         output_lists=output_lists,
+        final_depths=final_depths,
     )

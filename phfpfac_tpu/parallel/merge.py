@@ -62,8 +62,18 @@ def merge_match_rows(
     """Merge per-shard match rows into a flat [(pos, global id)] array.
 
     Returns int64 [n_matches, 2] sorted by (pos, shard, slot) — the
-    reference's shard-major merge order.
+    reference's shard-major merge order.  Charset dictionaries sort by
+    the canonical (pos, match length, id) instead (see _merge_charset).
     """
+    if getattr(compiled, "charset", False):
+        parts = []
+        for s, rows in enumerate(shard_rows):
+            rows = np.asarray(rows)[:input_size]
+            p, j = np.nonzero(rows >= 0)
+            if p.size == 0:
+                continue
+            parts.append((compiled.shards[s], p, rows[p, j]))
+        return _merge_charset(parts)
     pos_parts, id_parts, shard_parts, slot_parts = [], [], [], []
     for s, rows in enumerate(shard_rows):
         rows = np.asarray(rows)
@@ -87,6 +97,33 @@ def merge_match_rows(
     return np.stack([pos[order], ids[order]], axis=1)
 
 
+def _merge_charset(parts) -> np.ndarray:
+    """Canonical (pos, match length, pattern id) merge for charset
+    dictionaries — the only order invariant to how class patterns were
+    sharded (they have no memcmp sort, so the plain contiguous-prefix
+    argument in the module docstring does not apply).  Equals the
+    single-shard shard-major order: a DFA final's output list is
+    ascending-pid and all its patterns share one length
+    (frontend.charset.build_class_trie).
+
+    ``parts``: [(shard, pos array, local-final array)] per shard."""
+    pos_parts, len_parts, id_parts = [], [], []
+    for sh, p, local in parts:
+        take, ids, _sub, _base = _map_ids(sh, local)
+        pos_parts.append(p[take].astype(np.int64))
+        id_parts.append(ids)
+        len_parts.append(
+            sh.final_depths[np.asarray(local)[take]].astype(np.int64)
+        )
+    if not pos_parts:
+        return np.empty((0, 2), dtype=np.int64)
+    pos = np.concatenate(pos_parts)
+    ids = np.concatenate(id_parts)
+    ln = np.concatenate(len_parts)
+    order = np.lexsort((ids, ln, pos))
+    return np.stack([pos[order], ids[order]], axis=1)
+
+
 def merge_flat_matches(
     compiled: CompiledDictionary,
     shard_flat: list[np.ndarray],  # per shard: int64 [m, 3] (pos, step, local)
@@ -94,7 +131,17 @@ def merge_flat_matches(
 ) -> np.ndarray:
     """Merge per-shard flat (pos, step, local-state) matches.
 
-    Same ordering contract as merge_match_rows: (pos, shard, step)."""
+    Same ordering contract as merge_match_rows: (pos, shard, step);
+    charset dictionaries use the canonical (pos, length, id) order."""
+    if getattr(compiled, "charset", False):
+        parts = []
+        for s, m in enumerate(shard_flat):
+            if m.size == 0:
+                continue
+            m = m[m[:, 0] < input_size]
+            if len(m):
+                parts.append((compiled.shards[s], m[:, 0], m[:, 2]))
+        return _merge_charset(parts)
     pos_parts, id_parts, shard_parts, step_parts = [], [], [], []
     for s, m in enumerate(shard_flat):
         if m.size == 0:

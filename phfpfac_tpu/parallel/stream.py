@@ -138,11 +138,19 @@ class StreamMatcher:
         return np.stack([matches[:, 0] + base, matches[:, 1]], axis=1)
 
     def _scan_async(self, window: bytes):
-        """Dispatch a window scan; resolver returns raw [(pos, id)]."""
-        if self.matcher.engine == "pallas":
-            resolvers = self.matcher._dispatch_flat_pallas(
-                window, len(window)
-            )
+        """Dispatch a window scan; resolver returns raw [(pos, id)].
+
+        Both serving engines dispatch at feed time: pallas via
+        ``_dispatch_flat_pallas``, turbo via ``_dispatch_flat_turbo``
+        (the jit'd scans enqueue asynchronously, the resolver fetches).
+        Only the exact-parity ``jnp`` engine scans synchronously at
+        resolve time — it exists for oracle comparisons, not serving."""
+        dispatch = {
+            "pallas": self.matcher._dispatch_flat_pallas,
+            "turbo": self.matcher._dispatch_flat_turbo,
+        }.get(self.matcher.engine)
+        if dispatch is not None:
+            resolvers = dispatch(window, len(window))
 
             def resolve():
                 from phfpfac_tpu.parallel.merge import merge_flat_matches

@@ -119,8 +119,42 @@ class TestEngineParity:
         cfg = PfacConfig(width=512, num_shards=1, interpret=True)
         run_engines(pats, data, cfg)
 
-    def test_requires_single_shard(self):
-        pats = [CP(1, b"ab")]
-        cfg = PfacConfig(width=256, num_shards=2)
-        with pytest.raises(ValueError, match="single shard"):
-            compile_class_patterns(pats, cfg)
+    def test_shard_count_invariance(self):
+        # class dictionaries shard like every other kind
+        # (create_table_reorder.c:253-274); the canonical
+        # (pos, length, id) merge order makes the output identical for
+        # any shard count — including shards with multi-output finals
+        # and more shards than patterns (empty shards)
+        rng = np.random.default_rng(77)
+        pats = [
+            CP(1, b"[ab]c"), CP(2, b"bc"), CP(3, b"c"), CP(4, b"[a-c]b"),
+            CP(5, b"ab"), CP(6, b"[bc][bc]"), CP(7, b"abc"),
+        ]
+        data = bytes(rng.integers(97, 100, 2000).astype(np.uint8))
+        cfg1 = PfacConfig(width=512, num_shards=1, interpret=True)
+        want = match_oracle_charset(pats, data, cfg1)
+        for ns in (1, 2, 3, 4, 9):
+            cfg = PfacConfig(width=512, num_shards=ns, interpret=True)
+            compiled = compile_class_patterns(pats, cfg)
+            assert compiled.charset and compiled.num_shards == ns
+            for engine in ("turbo", "pallas"):
+                m = Matcher(compiled, cfg, engine=engine)
+                got = [tuple(x) for x in m.match(data).tolist()]
+                assert got == want, f"shards={ns} engine={engine}"
+
+    def test_sharded_save_load_round_trip(self, tmp_path):
+        pats = [CP(1, b"[ab]c"), CP(2, b"bc"), CP(3, b"[a-c]b")]
+        data = b"abcbcbabcb" * 30
+        cfg = PfacConfig(width=512, num_shards=2, interpret=True)
+        compiled = compile_class_patterns(pats, cfg)
+        path = tmp_path / "cs.npz"
+        compiled.save(path)
+        from phfpfac_tpu.compile.tables import CompiledDictionary
+
+        loaded = CompiledDictionary.load(path)
+        assert loaded.charset
+        assert loaded.shards[0].final_depths is not None
+        want = match_oracle_charset(pats, data, cfg)
+        got = [tuple(x) for x in
+               Matcher(loaded, cfg, engine="turbo").match(data).tolist()]
+        assert got == want
