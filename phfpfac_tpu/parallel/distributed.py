@@ -128,6 +128,10 @@ class MultiHostMatcher:
         # express (charset, >32-step patterns, non-pow2 segments)
         self._plan = None
         self._plan_failed = False
+        # which engine the last _match_local actually used ("plan" or
+        # "turbo") — lets callers (and the driver dryrun) ASSERT the
+        # flagship path ran instead of a silent warning-only fallback
+        self.last_engine: str | None = None
 
     def _get_plan(self, train: bytes):
         import jax
@@ -166,7 +170,9 @@ class MultiHostMatcher:
         plan = self._get_plan(bytes(data[: 1 << 20]))
         if plan is not None:
             try:
-                return plan.match(data, input_size=input_size)
+                out = plan.match(data, input_size=input_size)
+                self.last_engine = "plan"
+                return out
             except Exception as e:  # noqa: BLE001 — expected fallback
                 import warnings
 
@@ -175,6 +181,7 @@ class MultiHostMatcher:
                     f"falling back to the turbo mesh"
                 )
                 self._plan_failed = True
+        self.last_engine = "turbo"
         return self.dm.match(data, input_size=input_size)
 
     def match(self, data: bytes, *, input_size: int | None = None):
