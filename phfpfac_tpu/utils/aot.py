@@ -60,7 +60,7 @@ def _key(name: str, statics: dict, args: tuple) -> str:
     h.update(jax.default_backend().encode())
     h.update(trace_knob_state().encode())  # env knobs change kernels
     h.update(repr(sorted(statics.items())).encode())
-    for a in args:
+    for a in jax.tree.leaves(args):  # args may be pytrees (stage16)
         h.update(f"{a.shape}|{a.dtype};".encode())
     return h.hexdigest()[:24]
 
@@ -104,7 +104,9 @@ def aot_call(name: str, fn, args: tuple, statics: dict):
 
         exp = jax.export.export(
             jax.jit(functools.partial(fn, **statics))
-        )(*[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args])
+        )(*jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args
+        ))
         blob = exp.serialize()
         path.parent.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(".tmp%d" % os.getpid())

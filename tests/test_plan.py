@@ -305,6 +305,57 @@ def test_plan_segment_truncation_fuzz(seed):
     assert got == match_oracle(pats, data, cfg)
 
 
+def test_stage16_count_parity():
+    """int16-staged count scan (PHFPFAC_STAGE16 A/B arm) must match
+    the int32 path exactly — scan and in-jit chain — including the
+    per-cell int32 halo blocks at tile boundaries."""
+    import jax.numpy as jnp
+
+    from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+
+    words = [b"the", b"then", b"there", b"cat", b"dog", b"a", b"an",
+             b"aaaa", b"catalog"]
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    compiled = compile_patterns(pats, PfacConfig(width=512, num_shards=1))
+    shard = compiled.shards[0]
+    rng = np.random.default_rng(5)
+    data = bytes(rng.choice(list(b"thecandoglx "), 128 * 1024)
+                 .astype(np.uint8))
+    ms = padded_steps(compiled.max_pat_len)
+    padded = pad_input(data, 1024, ms)
+    n = jnp.int32(len(data))
+
+    s32 = plan_count_scanner(shard, ms, interpret=True,
+                             train=data[:4096], stage16=False, tpc=16)
+    d32 = s32.prepare(padded, len(data))
+    t32 = int(np.asarray(s32.scan(d32, n, jnp.int32(0))))
+
+    s16 = plan_count_scanner(shard, ms, interpret=True,
+                             train=data[:4096], stage16=True, tpc=16)
+    d16 = s16.prepare(padded, len(data))
+    assert isinstance(d16, tuple) and d16[0].dtype == jnp.int16
+    t16 = int(np.asarray(s16.scan(d16, n, jnp.int32(0))))
+    assert t16 == t32 > 0
+    c32 = int(np.asarray(s32.scan_chain(d32, n, jnp.int32(0), 3)))
+    c16 = int(np.asarray(s16.scan_chain(d16, n, jnp.int32(0), 3)))
+    assert c16 == c32
+
+
+def test_pack_probe_compaction_correct():
+    """The butterfly lane-compaction used to cost survivor-compaction
+    v2 on hardware (bench/pack_probe.py) is a real stable compaction:
+    per tile, nonzero lanes move to the front in order, tail zeroed."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "bench/pack_probe.py", "--interpret",
+         "--mib", "1", "--planes", "1", "--chain", "1", "--reps", "1"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
+    )
+    assert "correctness OK" in r.stdout, r.stdout + r.stderr
+
+
 def test_compacted_two_phase_scan_parity():
     """The two-phase compacted scan (phase A + nonzero/gather glue +
     dense survivor phase B) must be bit-identical to the plain scan in
