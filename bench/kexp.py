@@ -56,6 +56,11 @@ def main() -> None:
                          "per-scan device time = (T(2K)-T(K))/K, "
                          "cancelling dispatch+fetch like the "
                          "reference's cudaEvent span)")
+    ap.add_argument("--plan", default=None,
+                    help="forced step kinds from depth 1 (costsim "
+                         "syntax: 'm' per 1-depth mono, 'p' per "
+                         "2-depth pair, padded with the last char) — "
+                         "overrides the build DP for A/B")
     args = ap.parse_args()
     if args.glue:
         import os
@@ -124,10 +129,28 @@ def main() -> None:
     cf = args.cond_from
     if cf != "auto":
         cf = int(cf)
+    pt = None
+    if args.plan:
+        from phfpfac_tpu.compile.plan import build_plan_tables
+
+        D, forced, d, i = shard.max_pat_len, [], 1, 0
+        while d < D:
+            c = args.plan[i] if i < len(args.plan) else args.plan[-1]
+            if c == "p" and d + 1 < D:
+                forced.append(("pair", d))
+                d += 2
+            else:
+                forced.append(("mono", d))
+                d += 1
+            i += 1
+        pt = build_plan_tables(
+            shard, train=None if args.untrained else data[: 1 << 20],
+            forced_kinds=tuple(forced),
+        )
     scan = plan_count_scanner(
         shard, max_steps, tpc=args.tpc, cond_from=cf,
         train=None if args.untrained else data[: 1 << 20],
-        compact=compact,
+        compact=compact, pt=pt,
     )
     t_build = time.perf_counter() - t0
     dev = scan.prepare(padded, n)

@@ -1388,8 +1388,12 @@ class PlanCountScan:
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
                  interpret: bool = False, tpc: int = 32, cond_from="auto",
-                 train=None, compact="auto", stage16=None):
-        self.pt = build_plan_tables(shard, train=train)
+                 train=None, compact="auto", stage16=None, pt=None):
+        # ``pt``: a pre-built PlanTables (forced step kinds, loaded
+        # format-v3 tables) — skips the trie + plan build
+        self.pt = (
+            pt if pt is not None else build_plan_tables(shard, train=train)
+        )
         self.max_steps = max_steps
         self.interpret = interpret
         self.tpc = tpc
@@ -1531,8 +1535,9 @@ class PlanCountScan:
 def plan_count_scanner(shard: ShardTables, max_steps: int, *,
                        interpret: bool = False, tpc: int = 32,
                        cond_from="auto", train=None,
-                       compact="auto", stage16=None) -> PlanCountScan:
+                       compact="auto", stage16=None,
+                       pt=None) -> PlanCountScan:
     return PlanCountScan(
         shard, max_steps, interpret=interpret, tpc=tpc, cond_from=cond_from,
-        train=train, compact=compact, stage16=stage16,
+        train=train, compact=compact, stage16=stage16, pt=pt,
     )
