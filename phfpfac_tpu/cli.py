@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode \\xNN, \\ooo and C escapes in patterns (fgetc_ext)")
     p.add_argument("--charset", action="store_true",
                    help="enable [a-z] / [^...] charset classes in patterns "
-                        "(NFA->DFA frontend; single shard)")
+                        "(NFA->DFA frontend; shards like plain dicts)")
     p.add_argument("--save-tables", default=None,
                    help="serialize compiled tables to this .npz path")
     p.add_argument("--load-tables", default=None,

@@ -526,6 +526,8 @@ def level_visit_counts(
     corpus: bytes | np.ndarray,
     *,
     max_bytes: int = 1 << 20,
+    cell_live_out: list | None = None,
+    cell_positions: int = 32 * 1024,
 ) -> list:
     """Per-level class visit counts from walking a profile corpus.
 
@@ -535,6 +537,12 @@ def level_visit_counts(
     profile-guided table layout (hot classes get low displacements so
     the kernel's grouped bank scan terminates early); they only
     affect SPEED — results are exact for any input.
+
+    ``cell_live_out`` (optional list) additionally receives, per
+    level, the fraction of ``cell_positions``-sized position cells
+    with at least one live walker — the empirical (clustering-aware)
+    probability that the kernel's cell-level early-exit cond pays for
+    a step at that depth.  The step-kind DP prices steps by it.
     """
     arr = (
         np.frombuffer(corpus, dtype=np.uint8)
@@ -554,6 +562,13 @@ def level_visit_counts(
             alive = (st >= 0) & (nxt < n)
             st = np.where(alive, dense[np.maximum(st, 0), ch], -1)
         alive = st >= 0
+        if cell_live_out is not None:
+            nc = -(-n // cell_positions)
+            a = np.zeros(nc * cell_positions, dtype=bool)
+            a[:n] = alive
+            cell_live_out.append(
+                float(a.reshape(nc, cell_positions).any(axis=1).mean())
+            )
         if not alive.any():
             counts.append(np.zeros(lv.n_classes(li), np.int64))
             continue

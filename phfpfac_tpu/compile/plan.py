@@ -79,8 +79,20 @@ _LANE = 128
 # Lower F also correctly biases bank-heavy dictionaries (the 160k-
 # title dict) toward mono, matching measurement (mixed-pair plan
 # 0.202 GB/s vs all-mono 0.212 / depth kernel 0.214).
-_FIX_MONO = 60.0
-_FIX_PAIR = 60.0
+# ROUND-4 RECALIBRATION against the one-pred kernel's measured step
+# costs (bench/stepcurve.py + the costsim replay, in the DP's
+# 4-per-bank units): mono fixed ~19 vops -> 25; pair fixed -> 55,
+# ~2.2x mono, because the measured pair step (44 cycles/tile on the
+# english stepcurve vs the ~40-vop model at a 1.5 vops/cycle mix
+# rate) dual-issues worse — its side-probe verify chain serializes.
+# The old 60/60 (fix/bank ratio 15 vs measured 6-8) over-rewarded
+# step-halving pairs whose bank mass the conds never repay — worst
+# case big156's 122-vop pair@d12 over a dead d13 (r4 ledger,
+# PERF.md).  Hardware A/B of the resulting mono-first plans:
+# big156 10.6 -> 8.69 ms (+22%), english 8.50 -> 7.48 ms (+14%)
+# (bench/r4_results.log).  Combined with exec-fraction pricing below.
+_FIX_MONO = 25.0
+_FIX_PAIR = 55.0
 
 
 @dataclass(frozen=True)
@@ -215,16 +227,20 @@ def build_plan_tables(
 
     weights = None
     train_len = 0
+    cell_live: list = []
     if train is not None:
         from phfpfac_tpu.compile.depth import level_visit_counts
 
         train_len = len(train)
-        weights = level_visit_counts(dense, shard.s0, lv, train)
+        weights = level_visit_counts(
+            dense, shard.s0, lv, train, cell_live_out=cell_live
+        )
         if not any(int(w.sum()) for w in weights):
             # degenerate profile (empty / unrepresentative corpus):
             # trained tables would pay grouped-scan checks with no
             # hot-row front-loading — stay untrained
             weights = None
+            cell_live = []
 
     # ---- alphabet coding --------------------------------------------------
     # beyond cb=6 the dense sigma^2 depths-1+2 table would cost 128
@@ -388,20 +404,37 @@ def build_plan_tables(
     miss_pair_w = (1 << (31 - (2 * cb + 1))) - 1
     miss_mono_w = (1 << (31 - (cb + 1))) - 1
 
+    def _exec_frac(d: int) -> float:
+        """Trained cell-live probability entering depth ``d`` — the
+        empirical (clustering-aware) chance that a 32k-walker cell
+        still holds a live walker, i.e. that the kernel's cell-level
+        early-exit cond EXECUTES a step at this depth.  Round-4
+        finding (bench/r4_results.log): the unweighted DP placed a
+        122-vop pair step at big156's d12 where every cell is dead one
+        depth later — pricing steps by measured cell liveness is what
+        the kernel actually pays.  Floored so fixed-cost ranking
+        survives at fully-dead depths (there the choice is nearly
+        free either way)."""
+        if not cell_live or d < 2:
+            return 1.0
+        i = min(d - 2, len(cell_live) - 1)
+        return max(cell_live[i], 0.05)
+
     def run_dp(use_pair: bool):
         miss_w = miss_pair_w if use_pair else miss_mono_w
         cost = [0.0] * (D + 2)
         choice = [None] * (D + 1)
         for d in range(D - 1, d_lo - 1, -1):
             m = p = INF
+            ex = _exec_frac(d)
             mc = mono_cand[d]
             if mc["ht_len"] + mono_span <= miss_w and cost[d + 1] < INF:
-                m = 4.0 * mc["banks"] + _FIX_MONO + cost[d + 1]
+                m = ex * (4.0 * mc["banks"] + _FIX_MONO) + cost[d + 1]
             if use_pair and d in pair_cand:
                 pc = pair_cand[d]
                 if (pc["ht_len"] + pair_span <= miss_w
                         and cost[d + 2] < INF):
-                    p = 4.0 * pc["banks"] + _FIX_PAIR + cost[d + 2]
+                    p = ex * (4.0 * pc["banks"] + _FIX_PAIR) + cost[d + 2]
             if p <= m:
                 cost[d], choice[d] = p, "pair"
             else:
