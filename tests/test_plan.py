@@ -305,6 +305,32 @@ def test_plan_segment_truncation_fuzz(seed):
     assert got == match_oracle(pats, data, cfg)
 
 
+def test_cell_live_training_output():
+    """level_visit_counts(cell_live_out=...) — the DP's cond-execution
+    pricing input — yields one fraction per level, each in [0, 1],
+    non-increasing with depth (walkers only die), and 0 exactly where
+    the visit counts are zero."""
+    from phfpfac_tpu.compile.depth import level_visit_counts
+    from phfpfac_tpu.compile.plan import _bfs_levels, _minimize_levels
+
+    words = [b"ab", b"abcd", b"abcdefgh", b"xy"]
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    compiled = compile_patterns(pats, PfacConfig(width=256, num_shards=1))
+    sh = compiled.shards[0]
+    dense = np.asarray(sh.dense_table())
+    levels = _bfs_levels(dense, sh.final_state_num + 1)
+    lv = _minimize_levels(dense, levels, sh.final_state_num)
+    data = b"abcd xy abcdefgh zz " * 200
+    cl: list = []
+    w = level_visit_counts(dense, np.asarray(sh.s0), lv, data,
+                           cell_live_out=cl, cell_positions=256)
+    assert len(cl) == len(w)
+    assert all(0.0 <= f <= 1.0 for f in cl)
+    assert all(a >= b for a, b in zip(cl, cl[1:]))  # walkers only die
+    for f, cnt in zip(cl, w):
+        assert (f == 0.0) == (int(cnt.sum()) == 0)
+
+
 def test_stage16_count_parity():
     """int16-staged count scan (PHFPFAC_STAGE16 A/B arm) must match
     the int32 path exactly — scan and in-jit chain — including the
