@@ -292,11 +292,13 @@ def bench_binary() -> dict:
     n = len(data)
     max_steps = padded_steps(compiled.max_pat_len)
     padded = pad_input(data, 1024, max_steps)
-    # tpc=8 / cond_from=3: measured optimum for the sigma=256 regime
-    # (r3 sweep, bench/logs/r3_tpc8_bin32.txt: 20.4 vs 21.9 ms at
-    # tpc=32 — smaller cells let the post-depth-4 steps' conds skip)
+    # tpc=16 / cond_from=3: measured optimum for the sigma=256 regime
+    # (r4 re-sweep, bench/r4_results.log: 18.9 ms vs 19.3-19.8 at
+    # tpc=8, 21.9 at tpc=32, 49.7 at cf=2 — smaller cells let the
+    # post-depth-4 conds skip; tpc=16 re-won under the one-pred
+    # mono-first kernels)
     scan = plan_count_scanner(
-        shard, max_steps, train=data[: 1 << 20], tpc=8, cond_from=3
+        shard, max_steps, train=data[: 1 << 20], tpc=16, cond_from=3
     )
     dev = scan.prepare(padded, n)
     total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
@@ -304,7 +306,7 @@ def bench_binary() -> dict:
     if scan.check_overflow():
         scan = plan_count_scanner(
             shard, max_steps, train=data[: 1 << 20], compact="off",
-            tpc=8, cond_from=3,
+            tpc=16, cond_from=3,
         )
         dev = scan.prepare(padded, n)
         total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
