@@ -133,6 +133,8 @@ def main() -> None:
     if args.plan:
         from phfpfac_tpu.compile.plan import build_plan_tables
 
+        if set(args.plan) - set("mp"):
+            raise SystemExit(f"--plan must be 'm'/'p' chars: {args.plan}")
         D, forced, d, i = shard.max_pat_len, [], 1, 0
         while d < D:
             c = args.plan[i] if i < len(args.plan) else args.plan[-1]

@@ -53,12 +53,22 @@ def _fingerprint() -> str:
 
 
 def _build(fp: str) -> None:
+    # Atomic publication (tmp + os.replace), because multiple fresh
+    # processes may race to build the untracked .so concurrently
+    # (multi-process CLI, bench + pytest): g++ writes a private tmp,
+    # the rename is atomic, and the fingerprint is published only
+    # after its .so — a racing reader at worst sees a valid .so with
+    # a stale/missing fingerprint and harmlessly rebuilds.
+    tmp_so = _SO.with_suffix(f".tmp{os.getpid()}")
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-        "-std=c++17", str(_SRC), "-o", str(_SO),
+        "-std=c++17", str(_SRC), "-o", str(tmp_so),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
-    _FP.write_text(fp)
+    tmp_so.replace(_SO)
+    tmp_fp = _FP.with_suffix(f".tmp{os.getpid()}")
+    tmp_fp.write_text(fp)
+    tmp_fp.replace(_FP)
 
 
 def _load() -> ctypes.CDLL | None:

@@ -406,12 +406,10 @@ def compile_class_patterns(class_patterns, config: PfacConfig) -> CompiledDictio
 
     from phfpfac_tpu.frontend.charset import build_class_trie
 
-    n_sh = max(config.num_shards, 1)
-    k = len(class_patterns) // n_sh
-    groups = [
-        class_patterns[i * k : (i + 1) * k] for i in range(n_sh - 1)
-    ]
-    groups.append(class_patterns[(n_sh - 1) * k :])
+    # same contiguous split as plain dicts (divide_patterns semantics,
+    # incl. the empty-leading-shards degenerate case) — shard_patterns
+    # is pure slicing and works on any sequence
+    groups = shard_patterns(class_patterns, max(config.num_shards, 1))
 
     def build_one(grp):
         ct = build_class_trie(grp)

@@ -120,6 +120,11 @@ def _merge_charset(parts) -> np.ndarray:
     pos = np.concatenate(pos_parts)
     ids = np.concatenate(id_parts)
     ln = np.concatenate(len_parts)
+    # 3-key lexsort: acceptable here (unlike the plain flat merge,
+    # which replaced it — charset dictionaries are NFA->DFA class
+    # rulesets, orders of magnitude smaller than the match-dense
+    # plain-dict merges that motivated the stable-runs fast path;
+    # revisit if charset serving ever reaches millions of matches)
     order = np.lexsort((ids, ln, pos))
     return np.stack([pos[order], ids[order]], axis=1)
 
