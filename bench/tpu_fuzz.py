@@ -7,7 +7,13 @@ Matcher against the Aho-Corasick oracle — the hardware counterpart of
 the suite (r2 ran 45/75-seed soaks; rerun after any kernel change,
 e.g. r3's one-shot early-exit pred).
 
-Usage: python bench/tpu_fuzz.py [--seeds 15] [--start 100]
+Usage: python bench/tpu_fuzz.py [--seeds 15] [--start 100] [--segment]
+
+``--segment`` runs the reference's segment+halo walk-truncation mode
+(small 512 B segments + 64 B halos force the in-kernel positional cut
+on nearly every walk) instead of exact mode — the CPU suite fuzzes
+this path in interpret mode; this arm compiles the real Mosaic
+segment kernels on the chip.
 """
 
 from __future__ import annotations
@@ -27,6 +33,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=15)
     ap.add_argument("--start", type=int, default=100)
+    ap.add_argument("--segment", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -46,10 +53,17 @@ def main() -> None:
         seed = args.start + k
         words, data = _dict_and_corpus(seed)
         pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
-        cfg = PfacConfig(
-            width=256, num_shards=1 + seed % 3, truncation="none",
-            interpret=False,
-        )
+        if args.segment:
+            cfg = PfacConfig(
+                width=256, num_shards=1 + seed % 3,
+                truncation="segment", segment_bytes=512, halo_bytes=64,
+                interpret=False,
+            )
+        else:
+            cfg = PfacConfig(
+                width=256, num_shards=1 + seed % 3, truncation="none",
+                interpret=False,
+            )
         compiled = compile_patterns(pats, cfg)
         input_size = len(data) - (seed % 2)
         want = match_oracle(pats, data[:input_size], cfg)
