@@ -78,7 +78,7 @@ def _time_count_scan(scan, dev_data, n, *, reps: int = 5, k: int = 8):
     return float(np.median(out))
 
 
-def _time_chain(sc, dev_data, n, *, reps: int = 3, k: int = 8):
+def _time_chain(sc, dev_data, n, *, samples: int = 3, k: int = 8):
     """Device-only seconds per scan via in-jit chaining.
 
     One dispatch runs ``k`` dependent scans (PlanCountScan.scan_chain,
@@ -86,23 +86,32 @@ def _time_chain(sc, dev_data, n, *, reps: int = 3, k: int = 8):
     (T(2k) - T(k)) / k cancels dispatch and fetch costs exactly as the
     reference's cudaEvent kernel span excludes its launch overhead
     (master_kernel.cu:400-423).  Returns None when the scanner has no
-    chain support (non-plan engines)."""
+    chain support (non-plan engines).
+
+    ``samples`` INDEPENDENT difference estimates are taken and the
+    median reported, with each T(k)/T(2k) point the MIN of two runs
+    (device time is a floor; tunnel congestion only ever adds) — the
+    r4 headline rode single-run tunnel weather across a ±10% band
+    (VERDICT r5 item 7); the within-process spread of this estimator
+    is a few % at 128 MiB."""
     import jax.numpy as jnp
 
     if not hasattr(sc, "scan_chain"):
         return None
 
-    def timed(kk):
-        out = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            r = sc.scan_chain(dev_data, jnp.int32(n), jnp.int32(0), kk)
-            _ = int(np.asarray(r))
-            out.append(time.perf_counter() - t0)
-        return float(np.median(out))
+    def one(kk):
+        t0 = time.perf_counter()
+        r = sc.scan_chain(dev_data, jnp.int32(n), jnp.int32(0), kk)
+        _ = int(np.asarray(r))
+        return time.perf_counter() - t0
 
-    timed(k), timed(2 * k)  # compile both shapes
-    return (timed(2 * k) - timed(k)) / k
+    one(k), one(2 * k)  # compile both shapes
+    ests = []
+    for _ in range(samples):
+        tk = min(one(k), one(k))
+        t2k = min(one(2 * k), one(2 * k))
+        ests.append((t2k - tk) / k)
+    return float(np.median(ests))
 
 
 def _best_time(sc, dev_data, n, dt_dispatch):

@@ -48,7 +48,19 @@ def _fingerprint() -> str:
         ).stdout.splitlines()[0]
     except Exception:
         gxx = "no-g++"
-    h.update(f"|{gxx}|{platform.machine()}|{platform.node()}".encode())
+    # CPU identity, not hostname: -march=native depends on the CPU
+    # model/ISA; hostnames are ephemeral in containers and would force
+    # spurious rebuilds on identical hardware (ADVICE r4)
+    cpu = platform.processor() or ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags", "Features")):
+                    cpu += "|" + line.strip()
+                    break
+    except OSError:
+        pass
+    h.update(f"|{gxx}|{platform.machine()}|{cpu}".encode())
     return h.hexdigest()
 
 

@@ -176,7 +176,18 @@ def build_class_trie(patterns: list[ClassPattern]) -> ClassTrie:
     frozensets of NFA ids explored in BFS order (NFA2DFA); finals get
     0..F-1 in discovery order, the root gets F+1, interiors F+2..
     (mark_DFA_id's reorder, shifted to the live pipeline's 0-base).
+
+    Precondition: ``patterns`` carry ASCENDING pattern_ids (file order,
+    as read_class_patterns produces).  A final's output list and the
+    sharded merge (parallel.merge._merge_charset) rely on it for the
+    canonical (pos, len, id) order equalling the single-shard order;
+    non-monotonic ids would yield a deterministic but DIFFERENT order
+    (ADVICE r4).
     """
+    assert all(
+        patterns[i].pattern_id < patterns[i + 1].pattern_id
+        for i in range(len(patterns) - 1)
+    ), "class patterns must carry ascending pattern_ids"
     # --- linear NFA ------------------------------------------------------
     # node 0 = root; edges[node] = {byte: [next...]}; finals[node] = pid
     edges: list[dict[int, list[int]]] = [{}]

@@ -1436,7 +1436,14 @@ class PlanCountScan:
                     self._code, n_rows=n_rows, cb=self.pt.code_bits,
                     rpc=tpc * _SUB,
                 )
-            self.stage16 = False  # geometry can't tile; fall back
+            # THIS input's geometry can't tile to 16 rows: int32-stage
+            # it per-call WITHOUT flipping the instance flag (a reused
+            # scanner would otherwise silently stay int32 for later
+            # inputs that do tile — ADVICE r4); the counter lets A/B
+            # harnesses detect mixed-staging runs
+            self.stage16_fallbacks = getattr(
+                self, "stage16_fallbacks", 0
+            ) + 1
         return stage_pairs(
             jnp.asarray(data_padded), jnp.asarray(np.int32(input_size)),
             self._code, n_rows=n_rows, cb=self.pt.code_bits,

@@ -24,6 +24,24 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 _enabled = False
 
 
+def _host_key() -> str:
+    """Short digest of the host CPU identity (model + ISA flags)."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags", "Features")):
+                    ident += "|" + line.strip()
+                    if ident.count("|") >= 2:
+                        break
+    except OSError:
+        ident += "|" + (platform.processor() or "")
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
 def honor_platform_env() -> None:
     """Make ``JAX_PLATFORMS`` effective under the site hook.
 
@@ -56,6 +74,13 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         or os.environ.get("PHFPFAC_COMPILE_CACHE_DIR")
         or os.path.abspath(_DEFAULT_DIR)
     )
+    # HOST-KEYED subdirectory: CPU-path executables embed host ISA
+    # features, and a cache entry compiled on a different host triggers
+    # XLA's "could lead to SIGILL" warning (observed in the r4 driver
+    # dryrun capture, VERDICT weak #5) or worse.  Keying by the CPU
+    # model + feature flags makes entries host-compatible by
+    # construction while still sharing across same-CPU processes.
+    path = os.path.join(path, _host_key())
     if _enabled:
         return path
     import jax

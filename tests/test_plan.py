@@ -373,11 +373,13 @@ def test_pack_probe_compaction_correct():
     per tile, nonzero lanes move to the front in order, tail zeroed."""
     import subprocess
     import sys as _sys
+    from pathlib import Path
 
+    repo = str(Path(__file__).resolve().parents[1])
     r = subprocess.run(
         [_sys.executable, "bench/pack_probe.py", "--interpret",
          "--mib", "1", "--planes", "1", "--chain", "1", "--reps", "1"],
-        capture_output=True, text=True, cwd="/root/repo", timeout=900,
+        capture_output=True, text=True, cwd=repo, timeout=900,
     )
     assert "correctness OK" in r.stdout, r.stdout + r.stderr
 
