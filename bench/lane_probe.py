@@ -39,7 +39,7 @@ import numpy as np
 
 NB = 16       # banks per probe pass (realistic hot-group span)
 WALKERS = 32 * 1024  # per grid cell (matches tpc=32 kernel cells)
-CELLS = 512
+CELLS = 2048
 
 
 def _probe_kernel(dtype, sub: int, reps: int, nb: int, packed: bool):
@@ -142,27 +142,31 @@ def alu_fn(dtype, sub: int, reps: int):
 
 
 def _time(make, data_args, label: str, unit_count: float):
-    """Differenced in-trace repeat timing: (T(2R) - T(R)) / R."""
-    R = 4
+    """Differenced in-trace repeat timing: (T(2R) - T(R)) / R.
+
+    Chained host dispatches (each call consumes the previous output)
+    + ONE scalar value fetch per timing point — block_until_ready is
+    NOT a fetch through this rig's async tunnel, and identical
+    repeated dispatches can be elided (CLAUDE.md measurement rules)."""
+    R = 16
+    K = 4  # chained calls per timing point
     try:
         f1, f2 = make(R), make(2 * R)
-        x = data_args[-1]
+        x0 = data_args[-1]
         pre = data_args[:-1]
-        y = f1(*pre, x)
-        jax.block_until_ready(y)
-        y = f2(*pre, x)
-        jax.block_until_ready(y)
 
-        def timed(f):
-            out = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                y = f(*pre, x)
-                jax.block_until_ready(y)
-                out.append(time.perf_counter() - t0)
-            return float(np.median(out))
+        def run_chain(f):
+            y = x0
+            t0 = time.perf_counter()
+            for _ in range(K):
+                y = f(*pre, y)
+            _ = int(np.asarray(y[0, 0]))  # real fetch
+            return (time.perf_counter() - t0) / K
 
-        dt = (timed(f2) - timed(f1)) / R
+        run_chain(f1), run_chain(f2)  # compile + warm
+        t1 = float(np.median([run_chain(f1) for _ in range(3)]))
+        t2 = float(np.median([run_chain(f2) for _ in range(3)]))
+        dt = (t2 - t1) / R
         rate = unit_count / dt / 1e9
         print(f"  {label:<28} {dt*1e3:8.3f} ms/pass  {rate:7.2f} G/s",
               flush=True)

@@ -329,8 +329,20 @@ GROUP_MIN_NB = 8
 # Minimum size of the FIRST bank group (the one probed
 # unconditionally).  2 (was 4): cold steps with hot_nb <= 1 probe two
 # banks + one pred instead of four — offline sim worth +4% english,
-# flat elsewhere.
+# flat elsewhere.  ``PHFPFAC_GROUP_FLOOR`` overrides at trace time
+# (r5: the lane_probe microbench showed gather triples cost ~4-6
+# cycles while ALU ops run ~6/cycle — dropping the floor to 1 trades
+# a near-free scalar pred for a whole gather-bank on every deep step
+# whose hot span fits one bank; folded into trace_knob_state so AOT
+# artifacts can't cross settings).
 GROUP_FLOOR = 2
+
+
+def group_floor() -> int:
+    import os
+
+    v = os.environ.get("PHFPFAC_GROUP_FLOOR")
+    return int(v) if v else GROUP_FLOOR
 
 
 def _hot_banks(offsets, csr_offs, cols, w, div: int = 1) -> float:

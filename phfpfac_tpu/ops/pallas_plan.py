@@ -124,6 +124,8 @@ def trace_knob_state() -> str:
     return repr((
         ("bank_outer", _bank_outer()),
         ("finish_block", os.environ.get("PHFPFAC_FINISH_BLOCK", "")),
+        ("fuse", _fuse_windows()),
+        ("gfloor", _group_floor()),
         ("glue", _glue_mode()),
         ("gmode", _default_gmode()),
         ("probe_merge", _probe_merge()),
@@ -206,8 +208,8 @@ def _group_ends(nb: int, first: int = 4, growth: int = 2) -> list:
 
 
 from phfpfac_tpu.compile.depth import (  # noqa: E402
-    GROUP_FLOOR as _GROUP_FLOOR,
     GROUP_MIN_NB as _GROUP_MIN_NB,
+    group_floor as _group_floor,
 )
 # (single knobs shared with the trained DP cost model, compile.depth)
 
@@ -217,16 +219,37 @@ from phfpfac_tpu.compile.depth import (  # noqa: E402
 _UNROLL_GROUPS = 2
 
 
+def _fuse_windows() -> bool:
+    """Fused mono windows (trace-time A/B knob, default ON).
+
+    The staged stream holds PAIR symbols, so the char a mono step at
+    offset o+1 needs is already inside the window a mono step at
+    offset o read: ``pairsym(o) >> CB``.  Consecutive mono steps with
+    consecutive offsets therefore share ONE window build (two lane
+    rotates + a select) — the second step pays a single shift and
+    skips its symbol masks (its value is already < 2^CB).  With an s0
+    prologue the pairing starts at the prologue's own offset-0 read,
+    so a pure-mono plan builds HALF the windows.  Two fused conded
+    steps also merge into one lax.cond (same pred: walkers only die,
+    the shared stale pred is the sound superset the one-pred design
+    already relies on)."""
+    return os.environ.get("PHFPFAC_FUSE", "1") != "0"
+
+
 def _run_steps(
     *, steps, carry, window, d_s, m_ref, s_ref,
     tpc: int, cb: int, emit_bitmap: bool, grouped: bool, gmode: str,
-    cond_from: int, p0_miss: int,
+    cond_from: int, p0_miss: int, w0=None, fuse: bool = False,
 ):
     """Trace the plan's step chain over a carried (disps, outs, alive)
     tuple.  Shared by the full kernel (windows = rolled corpus tiles)
     and the compacted phase-B kernel (windows = gathered survivor
     planes); ``window(i, off)`` and the optional per-walker
-    chars-remaining list ``d_s`` are the only differences."""
+    chars-remaining list ``d_s`` are the only differences.
+
+    ``w0`` (full kernel only): the prologue's offset-0 window values,
+    offered to a first mono step at offset 1 under ``fuse`` (see
+    _fuse_windows)."""
     from jax.experimental import pallas as pl
 
     cbm = (1 << cb) - 1
@@ -288,7 +311,13 @@ def _run_steps(
         # probed.  The loop body is O(1) code, fires only when a
         # live walker's probe bank lies past the unrolled span,
         # and scans only up to the max live bank.
-        ends = _group_ends(nb, first=max(_GROUP_FLOOR, hot + 1), growth=3)
+        fl = _group_floor()
+        # floor >= 2 keeps the +1 mispredict margin over the ceil'd hot
+        # span; floor 1 probes EXACTLY the hot span and lets the
+        # near-free scalar group pred catch the boundary (gathers cost
+        # ~4-6 cycles/bank, the pred ~nothing — bench/lane_probe.py)
+        first = max(fl, hot + 1) if fl >= 2 else max(1, hot)
+        ends = _group_ends(nb, first=first, growth=3)
         if gmode == "capped" and len(ends) > _UNROLL_GROUPS:
             ends, tail_lo = ends[:_UNROLL_GROUPS], ends[_UNROLL_GROUPS - 1]
         else:
@@ -353,17 +382,18 @@ def _run_steps(
             )
         return list(accs)
 
-    def finish(sp, cur, disp, out, g, w, ok2=None):
+    def finish(sp, cur, disp, out, g, w, ok2=None, pm=False):
         """Verify probe g (side word w for pair steps), update the
         per-tile output accumulator, chain disp.  No ``g >= 0``
         guard: compile guarantees every real symbol is strictly
         below the sym-field mask (collect_alphabet), so the -1 miss
-        can never verify."""
+        can never verify.  ``pm``: cur is already a bare < 2^CB
+        symbol (fused second step) — skip the mask."""
         bit0 = sp.depth0 - 1
         if sp.kind == "mono":
             # one masked compare against sym and sym|finbit each:
             # saves an op vs extracting the fin bit separately
-            sym = cur & cbm
+            sym = cur if pm else cur & cbm
             gs = g & (cbm | (1 << cb))
             fin = gs == (sym | (1 << cb))
             hit = (gs == sym) | fin
@@ -413,7 +443,7 @@ def _run_steps(
             )
         return disp, out
 
-    def finish_blk(sp, curs, disps, outs, gs, ws, ok2s):
+    def finish_blk(sp, curs, disps, outs, gs, ws, ok2s, pm=False):
         """finish() over a block of tiles, traced OP-WISE (each op for
         every tile in the block before the next op): like the probe's
         _tile_block interleave, this covers the verify/update chain's
@@ -422,7 +452,7 @@ def _run_steps(
         m = len(curs)
         bit0 = sp.depth0 - 1
         if sp.kind == "mono":
-            syms = [c & cbm for c in curs]
+            syms = curs if pm else [c & cbm for c in curs]
             gss = [g & (cbm | (1 << cb)) for g in gs]
             fins = [gss[i] == (syms[i] | (1 << cb)) for i in range(m)]
             hits = [(gss[i] == syms[i]) | fins[i] for i in range(m)]
@@ -483,7 +513,8 @@ def _run_steps(
         ]
         return disps, outs
 
-    def make_step(si: int, sp):
+    def make_step(si: int, sp, *, from_prev: bool = False,
+                  want_curs: bool = False):
         off_chars = sp.depth0 - 1
         bounding = grouped and gmode != "none"
         bound_main = bounding and sp.nb >= _GROUP_MIN_NB
@@ -500,18 +531,30 @@ def _run_steps(
         need_alive = any_conds and si == cond_from - 1
         wshift = 3 if sp.s_nibble else 2
 
-        def step(carry):
+        def step(carry, curs_in=None):
             disps, outs = list(carry[0]), list(carry[1])
             if seg_on:
                 disps = [
                     jnp.where(d_s[i] > off_chars, disps[i], sp.miss)
                     for i in range(tpc)
                 ]
-            curs = [window(i, off_chars) for i in range(tpc)]
-            if sp.kind == "mono":
-                idxs = [
-                    disps[i] + (curs[i] & cbm) for i in range(tpc)
+            if from_prev:
+                # fused second step: the previous step's window at
+                # offset-1 already holds this step's char in its high
+                # half — one shift replaces the window build, and the
+                # bare < 2^CB value needs no symbol masks (pm=True)
+                curs = [
+                    jax.lax.shift_right_logical(c, cb) for c in curs_in
                 ]
+            else:
+                curs = [window(i, off_chars) for i in range(tpc)]
+            if sp.kind == "mono":
+                if from_prev:
+                    idxs = [disps[i] + curs[i] for i in range(tpc)]
+                else:
+                    idxs = [
+                        disps[i] + (curs[i] & cbm) for i in range(tpc)
+                    ]
             else:
                 idxs = [disps[i] + curs[i] for i in range(tpc)]
             if bound_main:
@@ -547,7 +590,7 @@ def _run_steps(
                                 for i in range(b0, min(b0 + fb, tpc))]
                     disps[sl], outs[sl] = finish_blk(
                         sp, curs[sl], disps[sl], outs[sl], gs[sl],
-                        ws[sl], ok2s,
+                        ws[sl], ok2s, pm=from_prev,
                     )
             else:
                 for i in range(tpc):
@@ -555,21 +598,86 @@ def _run_steps(
                     if seg_on and sp.kind == "pair":
                         ok2 = d_s[i] > off_chars + 1
                     disps[i], outs[i] = finish(
-                        sp, curs[i], disps[i], outs[i], gs[i], ws[i], ok2
+                        sp, curs[i], disps[i], outs[i], gs[i], ws[i],
+                        ok2, pm=from_prev,
                     )
             alive = any_live(disps) if need_alive else carry[2]
-            return (tuple(disps), tuple(outs), alive)
+            out = (tuple(disps), tuple(outs), alive)
+            return (out, curs) if want_curs else out
 
         return step
 
+    # ---- window-fusion pairing (see _fuse_windows) ----------------------
+    # reuse_src[si] = si-1 when step si can take its chars from step
+    # si-1's window value (both mono, consecutive offsets); -1 when it
+    # can take them from the prologue's offset-0 window (w0)
+    reuse_src: dict = {}
+    if fuse:
+        prev_off = 0 if w0 is not None else None
+        prev_si = -1
+        for si, sp in enumerate(steps):
+            off = sp.depth0 - 1
+            if (sp.kind == "mono" and prev_off is not None
+                    and off == prev_off + 1):
+                reuse_src[si] = prev_si
+                prev_off = None  # the shared window covers only off+1
+            elif sp.kind == "mono":
+                prev_off, prev_si = off, si
+            else:
+                # a pair step's window at off covers off and off+1,
+                # but the next step starts at off+2 — no overlap
+                prev_off = None
+
     if any_conds and cond_from == 0:
         carry = (carry[0], carry[1], any_live(list(carry[0])))
-    for si, sp in enumerate(steps):
-        body = make_step(si, sp)
-        if si < cond_from:
-            carry = body(carry)
+    si = 0
+    n = len(steps)
+    while si < n:
+        sp = steps[si]
+        if reuse_src.get(si) == -1:
+            # first step takes its chars straight from the prologue's
+            # offset-0 window values
+            body = make_step(si, sp, from_prev=True)
+            if si < cond_from:
+                carry = body(carry, w0)
+            else:
+                carry = jax.lax.cond(
+                    carry[2], lambda c, b=body: b(c, w0),
+                    lambda c: c, carry,
+                )
+            si += 1
+            continue
+        fused = si + 1 < n and reuse_src.get(si + 1) == si
+        if not fused:
+            body = make_step(si, sp)
+            if si < cond_from:
+                carry = body(carry)
+            else:
+                carry = jax.lax.cond(carry[2], body, lambda c: c, carry)
+            si += 1
+            continue
+        b1 = make_step(si, sp, want_curs=True)
+        b2 = make_step(si + 1, steps[si + 1], from_prev=True)
+        if si >= cond_from:
+            # both conded: ONE lax.cond wraps the fused pair (same
+            # stale pred; the window value never crosses a cond edge)
+            def unit(c, b1=b1, b2=b2):
+                c, curs = b1(c)
+                return b2(c, curs)
+
+            carry = jax.lax.cond(carry[2], unit, lambda c: c, carry)
         else:
-            carry = jax.lax.cond(carry[2], body, lambda c: c, carry)
+            carry, curs = b1(carry)
+            if si + 1 >= cond_from:
+                # boundary crossing: the unconditional first step's
+                # window value is closed over by the second's cond body
+                carry = jax.lax.cond(
+                    carry[2], lambda c, b=b2, w=curs: b(c, w),
+                    lambda c: c, carry,
+                )
+            else:
+                carry = b2(carry, curs)
+        si += 2
     return carry
 
 
@@ -703,6 +811,7 @@ def _make_plan_kernel(
             window=window, d_s=d_s, m_ref=m_ref, s_ref=s_ref,
             tpc=tpc, cb=cb, emit_bitmap=emit_bitmap, grouped=grouped,
             gmode=gmode, cond_from=cond_from, p0_miss=p0_miss,
+            w0=curs0, fuse=_fuse_windows(),
         )
         outs = carry[1]
 
