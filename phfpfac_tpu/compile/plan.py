@@ -43,6 +43,7 @@ ht_len + colspan <= cap formula in the DP.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -109,6 +110,12 @@ class StepSpec:
     s_k0: int
     s_nibble: bool  # side entries 4-bit (code&7)+1 8/word, else bytes
     miss: int  # dead displacement (0 under the dead-zone scheme)
+    # SPLIT step (the s0x prologue's depth-2 table): the row index
+    # absorbed the symbol's high bits, so only ``col_bits`` low bits
+    # are verified in-entry (entry = nv << col_bits+2 | fin <<
+    # col_bits+1 | sym&mask, one spare bit keeping the -1 miss
+    # unaliasable).  0 = normal step (full-cb symbol field).
+    col_bits: int = 0
     # trained-profile hot-bank spans (0 = untrained): the kernel sizes
     # its FIRST bank group to cover the hot working set, so the common
     # case probes one group + one pred instead of walking geometric
@@ -477,6 +484,69 @@ def build_plan_tables(
             raise PairUnsupported("tables too large for the value field")
         plan_kinds = best[1]
 
+    # ---- s0x split prologue (wide alphabets) ------------------------------
+    # For sigma > 64 the depth-2 table's rows are FEW (depth-1 classes,
+    # <= sigma) but WIDE (colspan = mono_span), and wide uniform rows
+    # pin first-fit utilization near 50% (PERF.md round-3 item 7: the
+    # last rows placed need (1-f)^k * ht ~ 1).  Splitting each row into
+    # mono_span/64 sub-rows of span 64 multiplies the row count and
+    # drops k per row, packing near-100% — the binary-signature d2
+    # table measures 75 -> 39 banks.  The prologue then indexes
+    # offsets by (code1, code2 >> 6) directly — a two-byte-addressed
+    # s0 ("s0x") — and the d2 step verifies only the 6 low symbol
+    # bits (StepSpec.col_bits).  Adopted only when the priced probe
+    # cost (bigger prologue + smaller d2 scan) wins; stacked/forced
+    # builds keep plain s0 (shard-uniform statics).
+    split0 = None
+    if (forced_kinds is None and p0_mode == "s0"
+            and plan_kinds and plan_kinds[0] == ("mono", 1)
+            and cb > 6 and exact
+            and os.environ.get("PHFPFAC_SPLIT_S0", "1") != "0"):
+        _SUBB = 6
+        S = mono_span >> _SUBB
+        c1 = mono_cand[1]
+        cols1 = c1["cols"]
+        offs1 = lv.tr_offs[0]
+        cnt1 = offs1[1:] - offs1[:-1]
+        n_rows1 = len(cnt1)
+        row1 = np.repeat(np.arange(n_rows1, dtype=np.int64), cnt1)
+        rows2 = row1 * S + (cols1 >> _SUBB)
+        perm = np.argsort(rows2, kind="stable")
+        cols2 = (cols1 & ((1 << _SUBB) - 1))[perm]
+        cnt2 = np.bincount(rows2, minlength=n_rows1 * S)
+        offs2 = np.concatenate(
+            [[0], np.cumsum(cnt2)]
+        ).astype(offs1.dtype)
+        w1 = c1.get("w")
+        w2 = np.repeat(w1, S) if w1 is not None else None
+        from phfpfac_tpu.compile.depth import (
+            _grouped_cost,
+            _hot_banks,
+            _layout_banks,
+        )
+
+        o2, ht2 = _layout_csr(
+            offs2, cols2, colspan=1 << _SUBB, priority=_prio(w2)
+        )
+        banks2 = _layout_banks(o2, offs2, cols2)
+        hot2 = 0.0
+        cost2 = float(banks2)
+        if w2 is not None:
+            hot2 = _hot_banks(o2, offs2, cols2, w2)
+            cost2 = _grouped_cost(banks2, hot2)
+        sigma0 = int(code_of.max())  # miss code == sigma
+        p0x_len = (sigma0 + 1) * S
+        nb_p0x = -(-p0x_len // _LANE)
+        nb_p0_plain = -(-mono_span // _LANE)
+        cost_split = 4.0 * (nb_p0x + cost2)
+        cost_plain = 4.0 * (nb_p0_plain + c1["banks"])
+        if cost_split < cost_plain:
+            split0 = dict(
+                S=S, offs2=offs2, cols2=cols2, o2=o2, ht2=ht2,
+                perm=perm, hot=int(np.ceil(hot2)), p0x_len=p0x_len,
+            )
+            p0_mode = "s0x"
+
     # Dead-walker displacement = 0 (the DEAD ZONE scheme): every
     # table's real rows are shifted up by its colspan, so a dead
     # walker's probe index (0 + sym < span) lands strictly below the
@@ -513,6 +583,19 @@ def build_plan_tables(
 
     for i in range(len(plan_kinds) - 1, -1, -1):
         kind, d = plan_kinds[i]
+        if i == 0 and split0 is not None:
+            # split depth-2 step: offsets are per (row, sub) — consumed
+            # only by the s0x prologue builder below, never landing_arr
+            off_sh = np.where(
+                split0["o2"] != _EMPTY, split0["o2"] + (1 << 6), _EMPTY
+            )
+            disp_of[0] = None  # not class-indexed; p0x reads off_sh
+            built[0] = dict(
+                kind="mono", d=1, vshift=6 + 2, split=split0,
+                offsets=off_sh, ht_len=split0["ht2"] + (1 << 6),
+                hot=split0["hot"], col_bits=6,
+            )
+            continue
         in_range = (kind == "mono" and d in mono_cand) or (
             kind == "pair" and d in pair_cand
         )
@@ -580,6 +663,24 @@ def build_plan_tables(
         if b.get("empty"):
             main_tables.append(np.full(1, -1, dtype=np.int32))
             side_tables.append(np.zeros(1, dtype=np.int32))
+        elif kind == "mono" and b.get("split"):
+            sp0 = b["split"]
+            tbl = np.full(b["ht_len"], -1, dtype=np.int32)
+            cols2 = sp0["cols2"]
+            child2 = lv.tr_child[0].astype(np.int64)[sp0["perm"]]
+            cnt2 = sp0["offs2"][1:] - sp0["offs2"][:-1]
+            row2 = np.repeat(
+                np.arange(len(cnt2), dtype=np.int64), cnt2
+            )
+            roff = b["offsets"][row2]
+            keep = roff != _EMPTY
+            nv = landing_arr(nxt, child2)
+            fin = lv.fin[1][child2].astype(np.int64)
+            entry = (
+                (nv << b["vshift"]) | (fin << (b["vshift"] - 1)) | cols2
+            ).astype(np.int32)
+            tbl[roff[keep] + cols2[keep]] = entry[keep]
+            side_tables.append(np.zeros(1, dtype=np.int32))
         elif kind == "mono":
             tbl = np.full(b["ht_len"], -1, dtype=np.int32)
             offs = lv.tr_offs[li]
@@ -621,6 +722,24 @@ def build_plan_tables(
             landing_fn=lambda cls: int(landing_arr(0, np.array([cls]))[0]),
             miss=miss,
         )
+    elif p0_mode == "s0x":
+        # p0x[(code1 * S) + (code2 >> 6)] = (disp into the SPLIT d2
+        # table << 1) | fin1; -1 = no depth-1 state.  Sub-rows with no
+        # entries store the dead displacement (walker survives only to
+        # report fin1) — a free one-step-earlier death for ~empty subs.
+        S = split0["S"]
+        o2sh = built[0]["offsets"]
+        p0 = np.full(split0["p0x_len"], -1, dtype=np.int32)
+        for c in range(256):
+            u = int(shard.s0[c])
+            if u < 0:
+                continue
+            cls = int(lv.s0_class[u])
+            fin1 = 1 if lv.fin[0][cls] else 0
+            for sub in range(S):
+                off = o2sh[cls * S + sub]
+                dd = int(off) if off != _EMPTY else miss
+                p0[int(code_of[c]) * S + sub] = (dd << 1) | fin1
     else:
         # s0[code] = (disp into step 0 << 1) | fin1, -1 = no depth-1 state
         p0 = np.full(mono_span, -1, dtype=np.int32)
@@ -668,6 +787,7 @@ def build_plan_tables(
                 off=m_acc, nb=mb.shape[0], k0=mk0,
                 s_off=s_acc, s_nb=sb.shape[0], s_k0=sk0,
                 s_nibble=bool(b.get("nib", False)), miss=miss,
+                col_bits=int(b.get("col_bits", 0)),
                 hot_nb=int(b.get("hot", 0)),
                 s_hot_nb=int(b.get("hot_s", 0)),
             )

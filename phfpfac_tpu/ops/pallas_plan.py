@@ -257,6 +257,19 @@ def _run_steps(
     any_conds = len(steps) > cond_from
     seg_on = d_s is not None
 
+    def _geom(sp):
+        """(symbol mask, fin-bit mask, value shift) for a mono step —
+        split steps (col_bits > 0, the s0x d2 table) verify only the
+        low symbol bits, with one spare bit keeping the -1 miss
+        unaliasable (compile.plan StepSpec.col_bits)."""
+        if sp.col_bits:
+            return (
+                (1 << sp.col_bits) - 1,
+                1 << (sp.col_bits + 1),
+                sp.col_bits + 2,
+            )
+        return cbm, 1 << cb, cb + 1
+
     def any_live(disps):
         """Scalar: does any walker still carry a live displacement?
         Dead walkers carry displacement 0 and live displacements
@@ -393,16 +406,17 @@ def _run_steps(
         if sp.kind == "mono":
             # one masked compare against sym and sym|finbit each:
             # saves an op vs extracting the fin bit separately
-            sym = cur if pm else cur & cbm
-            gs = g & (cbm | (1 << cb))
-            fin = gs == (sym | (1 << cb))
+            cmask, finm, vsh = _geom(sp)
+            sym = cur if (pm and not sp.col_bits) else cur & cmask
+            gs = g & ((1 << vsh) - 1)
+            fin = gs == (sym | finm)
             hit = (gs == sym) | fin
             if emit_bitmap:
                 out = out | jnp.where(fin, jnp.int32(1) << bit0, 0)
             else:
                 out = out + fin.astype(jnp.int32)
             disp = jnp.where(
-                hit, jax.lax.shift_right_logical(g, cb + 1), sp.miss
+                hit, jax.lax.shift_right_logical(g, vsh), sp.miss
             )
         else:
             # nibble side entries store (code & 7) + 1 — sound via
@@ -452,9 +466,13 @@ def _run_steps(
         m = len(curs)
         bit0 = sp.depth0 - 1
         if sp.kind == "mono":
-            syms = curs if pm else [c & cbm for c in curs]
-            gss = [g & (cbm | (1 << cb)) for g in gs]
-            fins = [gss[i] == (syms[i] | (1 << cb)) for i in range(m)]
+            cmask, finm, vsh = _geom(sp)
+            syms = (
+                curs if (pm and not sp.col_bits)
+                else [c & cmask for c in curs]
+            )
+            gss = [g & ((1 << vsh) - 1) for g in gs]
+            fins = [gss[i] == (syms[i] | finm) for i in range(m)]
             hits = [(gss[i] == syms[i]) | fins[i] for i in range(m)]
             if emit_bitmap:
                 outs = [
@@ -467,7 +485,7 @@ def _run_steps(
             disps = [
                 jnp.where(
                     hits[i],
-                    jax.lax.shift_right_logical(gs[i], cb + 1), sp.miss,
+                    jax.lax.shift_right_logical(gs[i], vsh), sp.miss,
                 )
                 for i in range(m)
             ]
@@ -549,7 +567,12 @@ def _run_steps(
             else:
                 curs = [window(i, off_chars) for i in range(tpc)]
             if sp.kind == "mono":
-                if from_prev:
+                if sp.col_bits:
+                    cm = (1 << sp.col_bits) - 1
+                    idxs = [
+                        disps[i] + (curs[i] & cm) for i in range(tpc)
+                    ]
+                elif from_prev:
                     idxs = [disps[i] + curs[i] for i in range(tpc)]
                 else:
                     idxs = [
@@ -769,11 +792,22 @@ def _make_plan_kernel(
         # strictly below it).
         disps, outs = [], []
         curs0 = [tile_a(i) for i in range(tpc)]
-        vs0 = _lut_blocked(
-            p0_ref,
-            curs0 if p0_mode == "dense" else [c & cbm for c in curs0],
-            nb_p0,
-        )
+        if p0_mode == "dense":
+            probe0 = curs0
+        elif p0_mode == "s0x":
+            # two-byte-addressed prologue: p0x[(code1 << S_bits) |
+            # (code2 >> 6)] — the high bits of the SECOND char choose
+            # the split d2 sub-row (compile.plan "s0x split prologue")
+            sb = cb - 6
+            probe0 = [
+                ((c & cbm) << sb)
+                | ((jax.lax.shift_right_logical(c, cb + 6))
+                   & ((1 << sb) - 1))
+                for c in curs0
+            ]
+        else:
+            probe0 = [c & cbm for c in curs0]
+        vs0 = _lut_blocked(p0_ref, probe0, nb_p0)
         for i in range(tpc):
             if p0_mode == "dense":
                 v = vs0[i]

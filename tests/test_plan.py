@@ -526,3 +526,61 @@ def test_compact_positions_glue_modes_identical(monkeypatch):
         want = np.flatnonzero(live)[:cap]
         np.testing.assert_array_equal(outs["nonzero"][:len(want)], want)
         assert (outs["nonzero"][len(want):] == n).all()
+
+
+def test_s0x_split_prologue_parity(monkeypatch):
+    """Wide-alphabet (sigma=256) dictionaries adopt the s0x split
+    prologue (two-byte-addressed offsets, 64-span d2 sub-rows,
+    StepSpec.col_bits=6) when it prices cheaper, and its bitmaps are
+    identical to the plain-s0 build's — plus both match the oracle.
+    Covers compile.plan "s0x split prologue" + ops.pallas_plan._geom
+    (the split-step entry geometry)."""
+    rng = np.random.default_rng(11)
+    # enough signatures that the d2 table's wide uniform rows pin
+    # first-fit utilization low and the split wins the pricing
+    sigs = list(dict.fromkeys(
+        rng.integers(0, 256, (6000, 16), dtype=np.uint8).tobytes()[
+            i * 16 : i * 16 + 8 + int(rng.integers(0, 8))
+        ]
+        for i in range(6000)
+    ))
+    pats = [Pattern(i + 1, s) for i, s in enumerate(sigs)]
+    cfg = PfacConfig(width=4096, num_shards=1)
+    comp = compile_patterns(pats, cfg)
+    sh = comp.shards[0]
+    data = bytearray(rng.integers(0, 256, 60_000, dtype=np.uint8).tobytes())
+    for i in range(0, len(data) - 16, 2500):  # plant some matches
+        s = sigs[i % len(sigs)]
+        data[i : i + len(s)] = s
+    data = bytes(data)
+    train = data[: 1 << 14]
+    ms = padded_steps(comp.max_pat_len)
+    n = len(data)
+    padded = pad_input(data, 1024, ms)
+
+    pt1 = build_plan_tables(sh, train=train)
+    assert pt1.p0_mode == "s0x", "split should win the pricing here"
+    assert pt1.steps[0].col_bits == 6
+    monkeypatch.setenv("PHFPFAC_SPLIT_S0", "0")
+    pt0 = build_plan_tables(sh, train=train)
+    assert pt0.p0_mode == "s0"
+
+    s1 = PlanShardScanner(sh, interpret=True, pt=pt1, compact="off")
+    s0 = PlanShardScanner(sh, interpret=True, pt=pt0, compact="off")
+    c1, b1, _ = s1.scan_async(padded, n, cfg, ms)
+    c0, b0, _ = s0.scan_async(padded, n, cfg, ms)
+    assert int(np.asarray(c1).sum()) == int(np.asarray(c0).sum())
+    assert (np.asarray(b1) == np.asarray(b0)).all()
+
+    # serialization round-trip keeps the split geometry
+    from phfpfac_tpu.compile.plan import (
+        plan_tables_arrays,
+        plan_tables_from,
+    )
+
+    arrays, meta = plan_tables_arrays(pt1, "t_")
+    pt2 = plan_tables_from(arrays, "t_", meta)
+    assert pt2.p0_mode == "s0x" and pt2.steps[0].col_bits == 6
+    s2 = PlanShardScanner(sh, interpret=True, pt=pt2, compact="off")
+    _c2, b2, _ = s2.scan_async(padded, n, cfg, ms)
+    assert (np.asarray(b2) == np.asarray(b1)).all()
