@@ -236,6 +236,46 @@ def _fuse_windows() -> bool:
     return os.environ.get("PHFPFAC_FUSE", "1") != "0"
 
 
+def _pairing(steps, has_w0: bool, fuse: bool) -> dict:
+    """Window-fusion pairing (see _fuse_windows): reuse_src[si] = si-1
+    when step si takes its chars from step si-1's window value, -1
+    when from the prologue's offset-0 window.  Shared by the kernel
+    trace and by fresh_window_offsets (multi-plane staging must stage
+    exactly the offsets the fused trace actually reads)."""
+    reuse_src: dict = {}
+    if not fuse:
+        return reuse_src
+    prev_off = 0 if has_w0 else None
+    prev_si = -1
+    for si, sp in enumerate(steps):
+        off = sp.depth0 - 1
+        if (sp.kind == "mono" and prev_off is not None
+                and off == prev_off + 1):
+            reuse_src[si] = prev_si
+            prev_off = None  # the shared window covers only off+1
+        elif sp.kind == "mono":
+            prev_off, prev_si = off, si
+        else:
+            # a pair step's window at off covers off and off+1, but
+            # the next step starts at off+2 — no overlap
+            prev_off = None
+    return reuse_src
+
+
+def fresh_window_offsets(steps, fuse: bool | None = None) -> tuple:
+    """Offsets at which the (fused) step trace builds a FRESH window,
+    offset 0 (the prologue) included — the plane list for multi-plane
+    staging."""
+    if fuse is None:
+        fuse = _fuse_windows()
+    reuse = _pairing(steps, True, fuse)
+    offs = {0}
+    for si, sp in enumerate(steps):
+        if si not in reuse:
+            offs.add(sp.depth0 - 1)
+    return tuple(sorted(offs))
+
+
 def _run_steps(
     *, steps, carry, window, d_s, m_ref, s_ref,
     tpc: int, cb: int, emit_bitmap: bool, grouped: bool, gmode: str,
@@ -630,26 +670,8 @@ def _run_steps(
 
         return step
 
-    # ---- window-fusion pairing (see _fuse_windows) ----------------------
-    # reuse_src[si] = si-1 when step si can take its chars from step
-    # si-1's window value (both mono, consecutive offsets); -1 when it
-    # can take them from the prologue's offset-0 window (w0)
-    reuse_src: dict = {}
-    if fuse:
-        prev_off = 0 if w0 is not None else None
-        prev_si = -1
-        for si, sp in enumerate(steps):
-            off = sp.depth0 - 1
-            if (sp.kind == "mono" and prev_off is not None
-                    and off == prev_off + 1):
-                reuse_src[si] = prev_si
-                prev_off = None  # the shared window covers only off+1
-            elif sp.kind == "mono":
-                prev_off, prev_si = off, si
-            else:
-                # a pair step's window at off covers off and off+1,
-                # but the next step starts at off+2 — no overlap
-                prev_off = None
+    # ---- window-fusion pairing (see _fuse_windows / _pairing) -----------
+    reuse_src = _pairing(steps, w0 is not None, fuse)
 
     if any_conds and cond_from == 0:
         carry = (carry[0], carry[1], any_live(list(carry[0])))
@@ -712,12 +734,19 @@ def _make_plan_kernel(
     grouped: bool = False, gmode: str = "geo",
     seg_bytes: int = 0, halo_bytes: int = 0,
     emit_surv: bool = False, stage16: bool = False,
+    planes: tuple = (),
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     tpc = tiles_per_cell
     cbm = (1 << cb) - 1
+    # multi-plane staged input (stage_planes): the pair stream
+    # pre-shifted at every fresh window offset, cell-major — window()
+    # becomes one VMEM block read, no rotates/select/halo
+    mp = bool(planes)
+    assert not (mp and stage16), "multi-plane staging is int32-only"
+    pidx = {off: j for j, off in enumerate(planes)}
     # segment truncation (reference master_kernel.cu:141-144): walks may
     # read only chars below segment_end + halo.  Chars past input_size
     # die via the staging pad, so the in-kernel limit needs no
@@ -754,6 +783,8 @@ def _make_plan_kernel(
                 d_s.append(lim - pos)
 
         def tile_a(i: int):
+            if mp:
+                return in_ref[pl.ds(pidx[0] * rpc + i * _SUB, _SUB), :]
             if stage16:
                 return buf_ref[pl.ds(i * _SUB, _SUB), :]
             return in_ref[pl.ds(i * _SUB, _SUB), :]
@@ -780,6 +811,9 @@ def _make_plan_kernel(
             long plan's windows cannot all be hoisted ahead of the
             early-exit conds (pure-value windows were — 20-step plans
             spilled the whole window set and ran 2x slower)."""
+            if mp:
+                # pre-shifted plane: one block read, no rotates
+                return in_ref[pl.ds(pidx[off] * rpc + i * _SUB, _SUB), :]
             if off == 0:
                 return tile_a(i)
             ra = pltpu.roll(tile_a(i), _LANE - off, axis=1)
@@ -890,6 +924,7 @@ def _make_plan_kernel(
 _STATICS = (
     "steps", "nb_p0", "cb", "p0_miss", "p0_mode", "interpret", "tpc",
     "cond_from", "grouped", "gmode", "seg_bytes", "halo_bytes", "stage16",
+    "planes",
 )
 
 
@@ -994,10 +1029,23 @@ def _default_gmode() -> str:
     return os.environ.get("PHFPFAC_GMODE", "capped")
 
 
-def _specs(tpc, stage16: bool = False):
+def _specs(tpc, stage16: bool = False, n_planes: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if n_planes:
+        # multi-plane staging: one block per cell carrying every
+        # pre-shifted plane; the halo slot gets a dead (8,128) view
+        return [
+            pl.BlockSpec(
+                (n_planes * tpc * _SUB, _LANE), lambda i: (i, 0)
+            ),
+            pl.BlockSpec((_SUB, _LANE), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
     if stage16:
         # int16 main block; halo comes from the separately staged
         # int32 per-cell halo array (stage_pairs16), not from a second
@@ -1026,21 +1074,25 @@ def _plan_scan_bitmap(
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
     grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
     stage16=False,  # accepted for statics-dict symmetry; bitmap paths stage int32
+    planes=(),
 ):
     from jax.experimental import pallas as pl
 
-    n_cells, tpc = _common(data2d, tpc)
+    if planes:
+        n_cells = data2d.shape[0] // (len(planes) * tpc * _SUB)
+    else:
+        n_cells, tpc = _common(data2d, tpc)
     kernel = _make_plan_kernel(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=True, tiles_per_cell=tpc, cond_from=cond_from,
         grouped=grouped, gmode=gmode, seg_bytes=seg_bytes,
-        halo_bytes=halo_bytes,
+        halo_bytes=halo_bytes, planes=planes,
     )
     rows_pc = tpc * _SUB
     cnt, bits = pl.pallas_call(
         kernel,
         grid=(n_cells,),
-        in_specs=_specs(tpc),
+        in_specs=_specs(tpc, n_planes=len(planes)),
         out_specs=(
             pl.BlockSpec((rows_pc, _LANE), lambda i: (i, 0)),
             pl.BlockSpec((rows_pc, _LANE), lambda i: (i, 0)),
@@ -1218,12 +1270,13 @@ def _plan_scan_bitmap_compact(
     data2d, s0_dummy, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
     grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
-    cut=0, cap=0, tpc_b=8, stage16=False,
+    cut=0, cap=0, tpc_b=8, stage16=False, planes=(),
 ):
     """Two-phase compacted bitmap scan.  Returns (cnt, bits, count):
     ``count`` is the TRUE survivor total at the cut — the caller must
     rescan uncompacted when count > cap (fallback, never silent
     truncation)."""
+    assert not planes, "compacted scans use the position-linear staging"
     from jax.experimental import pallas as pl
 
     n_cells, tpc = _common(data2d, tpc)
@@ -1268,9 +1321,10 @@ def _plan_scan_count_compact(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
     grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
-    cut=0, cap=0, tpc_b=8, stage16=False,
+    cut=0, cap=0, tpc_b=8, stage16=False, planes=(),
 ):
     """Two-phase compacted count scan.  Returns (total, count)."""
+    assert not planes, "compacted scans use the position-linear staging"
     from jax.experimental import pallas as pl
 
     n_cells, tpc = _common(data2d, tpc)
@@ -1314,6 +1368,7 @@ def _plan_scan_count_chain(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, k, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
     grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0, stage16=False,
+    planes=(),
 ):
     """``k`` dependent count scans in ONE dispatch (lax.fori_loop):
     each iteration's shift parity depends on the previous total, so
@@ -1325,7 +1380,7 @@ def _plan_scan_count_chain(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         interpret=interpret, tpc=tpc, cond_from=cond_from, grouped=grouped,
         gmode=gmode, seg_bytes=seg_bytes, halo_bytes=halo_bytes,
-        stage16=stage16,
+        stage16=stage16, planes=planes,
     )
 
     def body(_, acc):
@@ -1342,10 +1397,11 @@ def _plan_scan_count_compact_chain(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, k, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
     grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0,
-    cut=0, cap=0, tpc_b=8, stage16=False,
+    cut=0, cap=0, tpc_b=8, stage16=False, planes=(),
 ):
     """Chained compacted count scans; returns (last total, max true
     survivor count across the chain) for the overflow check."""
+    assert not planes, "compacted scans use the position-linear staging"
     st = dict(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         interpret=interpret, tpc=tpc, cond_from=cond_from, grouped=grouped,
@@ -1369,6 +1425,7 @@ def _plan_scan_count(
     data2d, shift, p0_banks, packed_banks, side_banks,
     *, steps, nb_p0, cb, p0_miss, p0_mode, interpret, tpc, cond_from,
     grouped=False, gmode="geo", seg_bytes=0, halo_bytes=0, stage16=False,
+    planes=(),
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1376,6 +1433,11 @@ def _plan_scan_count(
     if stage16:
         d16, halo32 = data2d
         n_cells, tpc = _common(d16, tpc)
+    elif planes:
+        d16 = halo32 = None
+        # staged at a fixed (pre-adjusted) tpc; rows = cells x planes
+        # x rows-per-cell exactly
+        n_cells = data2d.shape[0] // (len(planes) * tpc * _SUB)
     else:
         d16 = halo32 = None
         n_cells, tpc = _common(data2d, tpc)
@@ -1383,7 +1445,7 @@ def _plan_scan_count(
         steps=steps, nb_p0=nb_p0, cb=cb, p0_miss=p0_miss, p0_mode=p0_mode,
         emit_bitmap=False, tiles_per_cell=tpc, cond_from=cond_from,
         grouped=grouped, gmode=gmode, seg_bytes=seg_bytes,
-        halo_bytes=halo_bytes, stage16=stage16,
+        halo_bytes=halo_bytes, stage16=stage16, planes=planes,
     )
     rpc = tpc * _SUB
     call = functools.partial(
@@ -1401,7 +1463,7 @@ def _plan_scan_count(
         )(d16, halo32, shift.reshape(1), p0_banks, packed_banks,
           side_banks)
     else:
-        partial = call(in_specs=_specs(tpc))(
+        partial = call(in_specs=_specs(tpc, n_planes=len(planes)))(
             data2d, data2d, shift.reshape(1), p0_banks, packed_banks,
             side_banks,
         )
@@ -1551,6 +1613,15 @@ class PlanCountScan:
         self.stage16 = bool(stage16)
         if self.stage16:
             self.compact = "off"
+        # multi-plane staging (stage_planes): pre-shifted input planes
+        # turn every window build into one block read — measured A/B
+        # knob; costs len(planes) x input HBM footprint
+        self.multiplane = (
+            os.environ.get("PHFPFAC_MULTIPLANE", "0") == "1"
+            and not self.stage16
+        )
+        self._mp_offsets: tuple = ()
+        self._mp_tpc = self.tpc
         # device scalars of each compacted scan's true survivor count;
         # callers drain via check_overflow() AFTER timing (one fetch),
         # keeping the chained-dispatch protocol sync-free
@@ -1564,6 +1635,21 @@ class PlanCountScan:
     def prepare(self, data_padded, input_size):
         n_pos = len(data_padded) - self.max_steps
         n_rows = staged_rows(n_pos)
+        if self.multiplane:
+            from phfpfac_tpu.ops.pallas_pair import stage_planes
+
+            n_tiles, tpc = n_rows // _SUB - 1, self.tpc
+            while n_tiles % tpc:
+                tpc //= 2
+            self._mp_tpc = tpc
+            self._mp_offsets = fresh_window_offsets(self.pt.steps)
+            staged = stage_planes(
+                jnp.asarray(data_padded),
+                jnp.asarray(np.int32(input_size)),
+                self._code, n_rows=n_rows, cb=self.pt.code_bits,
+                rpc=tpc * _SUB, offsets=self._mp_offsets,
+            )
+            return {"planes": staged}
         if self.stage16:
             from phfpfac_tpu.ops.pallas_pair import stage_pairs16
 
@@ -1595,16 +1681,26 @@ class PlanCountScan:
     def scan(self, staged, input_size, shift):
         pt = self.pt
         is16 = isinstance(staged, tuple)
+        is_mp = isinstance(staged, dict)
         statics = dict(
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
-            interpret=self.interpret, tpc=self.tpc,
+            interpret=self.interpret,
+            tpc=self._mp_tpc if is_mp else self.tpc,
             cond_from=self.cond_from, grouped=pt.trained,
             gmode=_default_gmode(), stage16=is16,
+            planes=self._mp_offsets if is_mp else (),
         )
-        rows = (staged[0] if is16 else staged).shape[0]
+        if is_mp:
+            staged = staged["planes"]
+            rows = staged.shape[0] // len(self._mp_offsets)
+        else:
+            rows = (staged[0] if is16 else staged).shape[0]
         n_pos = rows * _LANE - TILE
-        cc = None if is16 else resolve_compact(pt, n_pos, self.compact)
+        cc = (
+            None if (is16 or is_mp)
+            else resolve_compact(pt, n_pos, self.compact)
+        )
         if cc is not None:
             cut, cap = cc
             with _eager_if(self.interpret):
@@ -1634,16 +1730,26 @@ class PlanCountScan:
         reference's cudaEvent kernel span also excludes."""
         pt = self.pt
         is16 = isinstance(staged, tuple)
+        is_mp = isinstance(staged, dict)
         statics = dict(
             steps=pt.steps, nb_p0=pt.p0_banks.shape[0], cb=pt.code_bits,
             p0_miss=pt.p0_miss, p0_mode=pt.p0_mode,
-            interpret=self.interpret, tpc=self.tpc,
+            interpret=self.interpret,
+            tpc=self._mp_tpc if is_mp else self.tpc,
             cond_from=self.cond_from, grouped=pt.trained,
             gmode=_default_gmode(), k=k, stage16=is16,
+            planes=self._mp_offsets if is_mp else (),
         )
-        rows = (staged[0] if is16 else staged).shape[0]
+        if is_mp:
+            staged = staged["planes"]
+            rows = staged.shape[0] // len(self._mp_offsets)
+        else:
+            rows = (staged[0] if is16 else staged).shape[0]
         n_pos = rows * _LANE - TILE
-        cc = None if is16 else resolve_compact(pt, n_pos, self.compact)
+        cc = (
+            None if (is16 or is_mp)
+            else resolve_compact(pt, n_pos, self.compact)
+        )
         args = (staged, jnp.asarray(shift, jnp.int32),
                 self._p0, self._m, self._s)
         if cc is not None:
