@@ -1509,6 +1509,12 @@ class PlanShardScanner:
         self.tpc = tpc
         self.cond_from = resolve_cond_from(self.pt, cond_from)
         self.compact = compact
+        # multi-plane staging (stage_planes): see PlanCountScan — the
+        # bitmap path shares the kernel machinery; incompatible with
+        # the compacted scan's position-linear glue
+        self.multiplane = os.environ.get("PHFPFAC_MULTIPLANE", "0") == "1"
+        if self.multiplane:
+            self.compact = "off"
         self._code = jnp.asarray(self.pt.code_of)
 
     def _statics(self):
@@ -1542,14 +1548,34 @@ class PlanShardScanner:
                 raise PairUnsupported("segment size must be a power of 2")
             seg, halo = cfg.segment_bytes, cfg.halo_bytes
         n_pos = len(data_padded) - max_steps
+        n_rows = staged_rows(n_pos)
+        if self.multiplane:
+            from phfpfac_tpu.ops.pallas_pair import stage_planes
+
+            n_tiles, tpc = n_rows // _SUB - 1, self.tpc
+            while n_tiles % tpc:
+                tpc //= 2
+            offsets = fresh_window_offsets(self.pt.steps)
+            planes = stage_planes(
+                jnp.asarray(data_padded),
+                jnp.asarray(np.int32(input_size)),
+                self._code, n_rows=n_rows, cb=self.pt.code_bits,
+                rpc=tpc * _SUB, offsets=offsets,
+            )
+            return self._scan_async(
+                planes, seg, halo, planes_off=offsets, tpc=tpc
+            )
         data2d = stage_pairs(
             jnp.asarray(data_padded), jnp.asarray(np.int32(input_size)),
-            self._code, n_rows=staged_rows(n_pos), cb=self.pt.code_bits,
+            self._code, n_rows=n_rows, cb=self.pt.code_bits,
         )
         return self._scan_async(data2d, seg, halo)
 
-    def _scan_async(self, data2d, seg, halo):
+    def _scan_async(self, data2d, seg, halo, planes_off=(), tpc=None):
         def plain():
+            st = self._statics()
+            if planes_off:
+                st["tpc"] = tpc
             with _eager_if(self.interpret):
                 return _dispatch(
                     "plan_bitmap", _plan_scan_bitmap,
@@ -1558,9 +1584,12 @@ class PlanShardScanner:
                      jnp.asarray(self.pt.packed_banks),
                      jnp.asarray(self.pt.side_banks)),
                     dict(seg_bytes=seg, halo_bytes=halo,
-                         **self._statics()),
+                         planes=planes_off, **st),
                 )
 
+        if planes_off:
+            cnt, bits = plain()
+            return cnt, bits, lambda: (cnt, bits)
         n_pos = data2d.shape[0] * _LANE - TILE
         cc = resolve_compact(self.pt, n_pos, self.compact)
         if cc is None:

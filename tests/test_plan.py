@@ -584,3 +584,54 @@ def test_s0x_split_prologue_parity(monkeypatch):
     s2 = PlanShardScanner(sh, interpret=True, pt=pt2, compact="off")
     _c2, b2, _ = s2.scan_async(padded, n, cfg, ms)
     assert (np.asarray(b2) == np.asarray(b1)).all()
+
+
+def test_multiplane_staging_parity(monkeypatch):
+    """PHFPFAC_MULTIPLANE=1 (stage_planes: pre-shifted window planes,
+    zero in-kernel rotates) must be bit-identical to the classic
+    rolled-window staging on both the count and bitmap paths, exact
+    and segment modes."""
+    import jax.numpy as jnp
+
+    from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+
+    rng = np.random.default_rng(23)
+    alpha = np.frombuffer(b"abcdefgh ,.", dtype=np.uint8)
+    words = list(dict.fromkeys(
+        bytes(alpha[rng.integers(0, len(alpha), int(rng.integers(1, 10)))])
+        for _ in range(120)))
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    cfg = PfacConfig(width=512, num_shards=1)
+    comp = compile_patterns(pats, cfg)
+    sh = comp.shards[0]
+    data = bytes(alpha[rng.integers(0, len(alpha), 50_000)])
+    ms = padded_steps(comp.max_pat_len)
+    n = len(data)
+    padded = pad_input(data, 1024, ms)
+
+    monkeypatch.delenv("PHFPFAC_MULTIPLANE", raising=False)
+    s0 = PlanShardScanner(sh, interpret=True, train=data[:8192],
+                          compact="off")
+    _c0, b0, _ = s0.scan_async(padded, n, cfg, ms)
+    sc0 = plan_count_scanner(sh, ms, interpret=True, train=data[:8192],
+                             compact="off")
+    t0 = int(np.asarray(sc0.scan(sc0.prepare(padded, n), jnp.int32(n),
+                                 jnp.int32(0))))
+
+    monkeypatch.setenv("PHFPFAC_MULTIPLANE", "1")
+    s1 = PlanShardScanner(sh, interpret=True, train=data[:8192])
+    assert s1.multiplane
+    _c1, b1, _ = s1.scan_async(padded, n, cfg, ms)
+    assert (np.asarray(b0)[:n] == np.asarray(b1)[:n]).all()
+    sc1 = plan_count_scanner(sh, ms, interpret=True, train=data[:8192])
+    assert sc1.multiplane
+    t1 = int(np.asarray(sc1.scan(sc1.prepare(padded, n), jnp.int32(n),
+                                 jnp.int32(0))))
+    assert t0 == t1
+
+    # segment mode: the positional cut must gate identically on planes
+    cfg_s = PfacConfig(width=512, num_shards=1, truncation="segment",
+                       segment_bytes=512, halo_bytes=64)
+    _c2, b2, _ = s1.scan_async(padded, n, cfg_s, ms)
+    _c3, b3, _ = s0.scan_async(padded, n, cfg_s, ms)
+    assert (np.asarray(b2)[:n] == np.asarray(b3)[:n]).all()
