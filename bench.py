@@ -177,8 +177,11 @@ def bench_english() -> dict:
     padded = pad_input(data, 1024, max_steps)
 
     # profile-guided layout: train on the corpus head (PGO; exact
-    # results for any input)
-    scan = best_count_scanner(shard, max_steps, train=data[: 1 << 20])
+    # results for any input).  tpc=64 + multi-plane staging: the r5
+    # optimum under fused windows (bench/r5_results.log: 32 MiB
+    # 6.81 -> 5.86 ms; 128 MiB 5.57 GB/s)
+    scan = best_count_scanner(shard, max_steps, train=data[: 1 << 20],
+                              tpc=64, multiplane=True)
     # one-time input staging (the reference's H2D upload, excluded from
     # its kernel-time metric the same way)
     if hasattr(scan, "prepare"):
@@ -211,7 +214,8 @@ def bench_english() -> dict:
         from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
 
         scan2 = plan_count_scanner(
-            shard, max_steps, train=data[: 1 << 20], compact="off"
+            shard, max_steps, train=data[: 1 << 20], compact="off",
+            tpc=64, multiplane=True,
         )
         dev_data = scan2.prepare(padded, n)
         total0 = int(np.asarray(scan2.scan(dev_data, jnp.int32(n),
@@ -259,13 +263,16 @@ def bench_big156() -> dict:
     n = len(data)
     max_steps = padded_steps(compiled.max_pat_len)
     padded = pad_input(data, 1024, max_steps)
-    scan = plan_count_scanner(shard, max_steps, train=data[: 1 << 20])
+    # tpc=64 + multi-plane staging: r5 optimum (7.93 -> 5.84 ms)
+    scan = plan_count_scanner(shard, max_steps, train=data[: 1 << 20],
+                              tpc=64, multiplane=True)
     dev = scan.prepare(padded, n)
     total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
     dt = _time_count_scan(scan.scan, dev, n)
     if scan.check_overflow():
         scan = plan_count_scanner(
-            shard, max_steps, train=data[: 1 << 20], compact="off"
+            shard, max_steps, train=data[: 1 << 20], compact="off",
+            tpc=64, multiplane=True,
         )
         dev = scan.prepare(padded, n)
         total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
@@ -307,7 +314,8 @@ def bench_binary() -> dict:
     # post-depth-4 conds skip; tpc=16 re-won under the one-pred
     # mono-first kernels)
     scan = plan_count_scanner(
-        shard, max_steps, train=data[: 1 << 20], tpc=16, cond_from=3
+        shard, max_steps, train=data[: 1 << 20], tpc=16, cond_from=3,
+        multiplane=True,  # r5: 16.70 -> 16.43 ms with s0x
     )
     dev = scan.prepare(padded, n)
     total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
@@ -315,13 +323,46 @@ def bench_binary() -> dict:
     if scan.check_overflow():
         scan = plan_count_scanner(
             shard, max_steps, train=data[: 1 << 20], compact="off",
-            tpc=16, cond_from=3,
+            tpc=16, cond_from=3, multiplane=True,
         )
         dev = scan.prepare(padded, n)
         total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
         dt = _time_count_scan(scan.scan, dev, n)
     return _finish(scan, dev, n, dt, {
         "signatures": len(sigs), "states": shard.state_num,
+        "input_bytes": n, "matches": total,
+    })
+
+
+def bench_full466k() -> dict:
+    """Wikipedia-scale regime: all 466k titles (the one >32 B title
+    rides the split path's exact engine in e2e; this times the <=32 B
+    bulk on the plan kernel — the capped 32-step protocol, r5 optimum
+    tpc=32 + multi-plane: 11.57 ms = 2.90 GB/s)."""
+    import jax.numpy as jnp
+
+    from phfpfac_tpu.frontend.patterns import Pattern
+    from phfpfac_tpu.ops.common import pad_input, padded_steps
+    from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
+
+    sys.path.insert(0, "/root/repo/bench")
+    from corpora import corpus, load_words
+
+    words = load_words("full", cap32=True)
+    pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+    compiled, shard = _compile_shard(pats)
+
+    data = corpus(32)
+    n = len(data)
+    max_steps = padded_steps(compiled.max_pat_len)
+    padded = pad_input(data, 1024, max_steps)
+    scan = plan_count_scanner(shard, max_steps, train=data[: 1 << 20],
+                              multiplane=True)
+    dev = scan.prepare(padded, n)
+    total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
+    dt = _time_count_scan(scan.scan, dev, n)
+    return _finish(scan, dev, n, dt, {
+        "patterns": len(pats), "states": shard.state_num,
         "input_bytes": n, "matches": total,
     })
 
@@ -357,13 +398,15 @@ def bench_random() -> dict:
     n = len(data)
     max_steps = padded_steps(compiled.max_pat_len)
     padded = pad_input(data, 1024, max_steps)
-    scan = plan_count_scanner(shard, max_steps, train=data[: 1 << 20])
+    scan = plan_count_scanner(shard, max_steps, train=data[: 1 << 20],
+                              multiplane=True)
     dev = scan.prepare(padded, n)
     total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
     dt = _time_count_scan(scan.scan, dev, n)
     if scan.check_overflow():
         scan = plan_count_scanner(
-            shard, max_steps, train=data[: 1 << 20], compact="off"
+            shard, max_steps, train=data[: 1 << 20], compact="off",
+            multiplane=True,
         )
         dev = scan.prepare(padded, n)
         total = int(np.asarray(scan.scan(dev, jnp.int32(n), jnp.int32(0))))
@@ -385,11 +428,12 @@ def main() -> None:
         os.environ["PHFPFAC_AOT_SAVE"] = "1"
 
     want = os.environ.get(
-        "PHFPFAC_BENCH_REGIMES", "english,big,binary,random"
+        "PHFPFAC_BENCH_REGIMES", "english,big,binary,random,full"
     ).split(",")
     runners = {
         "english": bench_english, "big": bench_big156,
         "binary": bench_binary, "random": bench_random,
+        "full": bench_full466k,
     }
     # english runs FIRST regardless of env order: it is the headline
     # the driver records, and it must be on stdout before anything can

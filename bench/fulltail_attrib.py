@@ -63,12 +63,20 @@ def main() -> None:
     tt = build_turbo_tables(sh)
     dev = jnp.asarray(padded)
 
-    def once(k: int):
-        # vary input_size per rep so the tunnel cannot elide repeats
+    import jax
+
+    @jax.jit
+    def reduced(k):
+        # in-jit scalar reduce: fetching the raw count plane would
+        # cost seconds of tunnel transfer and time the pipe, not the
+        # scan; vary input_size per rep so repeats cannot be elided
         r = scan_shard_turbo(
             sh, dev, n - (k % 2), cfg, max_steps=ms, turbo_tables=tt,
         )
-        return int(np.asarray(r[1]).sum())  # forces the scan
+        return jnp.asarray(r[1]).sum()
+
+    def once(k: int):
+        return int(np.asarray(reduced(jnp.int32(k))))
 
     total = once(0)  # compile + warm
     once(1)

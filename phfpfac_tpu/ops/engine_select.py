@@ -69,7 +69,7 @@ def xla_count_scanner(shard: ShardTables, max_steps: int):
 
 
 def best_count_scanner(shard: ShardTables, max_steps: int,
-                       train: bytes | None = None):
+                       train: bytes | None = None, **plan_kw):
     """Fastest available count-mode scan for one shard.
 
     Preference order: cost-planned hybrid-stride kernel
@@ -98,7 +98,8 @@ def best_count_scanner(shard: ShardTables, max_steps: int,
     from phfpfac_tpu.ops.pallas_plan import plan_count_scanner
 
     scan = _attempt(
-        lambda: plan_count_scanner(shard, max_steps, train=train)
+        lambda: plan_count_scanner(shard, max_steps, train=train,
+                                   **plan_kw)
     )
     if scan is not None:
         return scan

@@ -1622,7 +1622,8 @@ class PlanCountScan:
 
     def __init__(self, shard: ShardTables, max_steps: int, *,
                  interpret: bool = False, tpc: int = 32, cond_from="auto",
-                 train=None, compact="auto", stage16=None, pt=None):
+                 train=None, compact="auto", stage16=None, pt=None,
+                 multiplane=None):
         # ``pt``: a pre-built PlanTables (forced step kinds, loaded
         # format-v3 tables) — skips the trie + plan build
         self.pt = (
@@ -1643,12 +1644,14 @@ class PlanCountScan:
         if self.stage16:
             self.compact = "off"
         # multi-plane staging (stage_planes): pre-shifted input planes
-        # turn every window build into one block read — measured A/B
-        # knob; costs len(planes) x input HBM footprint
-        self.multiplane = (
-            os.environ.get("PHFPFAC_MULTIPLANE", "0") == "1"
-            and not self.stage16
-        )
+        # turn every window build into one block read — measured r5:
+        # english 32 MiB 6.44 -> 5.86 ms at tpc=64, big156 7.14 ->
+        # 5.84; costs len(planes) x input HBM footprint (gate off for
+        # huge-table dictionaries where the extra VMEM block pressure
+        # regresses — full466k measured WORSE)
+        if multiplane is None:
+            multiplane = os.environ.get("PHFPFAC_MULTIPLANE", "0") == "1"
+        self.multiplane = bool(multiplane) and not self.stage16
         self._mp_offsets: tuple = ()
         self._mp_tpc = self.tpc
         # device scalars of each compacted scan's true survivor count;
@@ -1821,8 +1824,9 @@ def plan_count_scanner(shard: ShardTables, max_steps: int, *,
                        interpret: bool = False, tpc: int = 32,
                        cond_from="auto", train=None,
                        compact="auto", stage16=None,
-                       pt=None) -> PlanCountScan:
+                       pt=None, multiplane=None) -> PlanCountScan:
     return PlanCountScan(
         shard, max_steps, interpret=interpret, tpc=tpc, cond_from=cond_from,
         train=train, compact=compact, stage16=stage16, pt=pt,
+        multiplane=multiplane,
     )

@@ -76,6 +76,34 @@ class Matcher:
             ]
         return self._turbo_tables
 
+    def _host_literal_one(self, data, input_size: int, pats_fids):
+        """Flat (pos, step, local-state) matches of a TINY literal
+        tail via host search (the split path's >32 B patterns; see
+        _split_long_shard).  Respects segment truncation: a match
+        starting in segment S may extend only to end(S) + halo
+        (master_kernel.cu:141-144), exactly like the device walks."""
+        seg = (
+            self.config.segment_bytes
+            if self.config.truncation == "segment" else 0
+        )
+        halo = self.config.halo_bytes
+        buf = bytes(data)
+        rows = []
+        for pat, fid in pats_fids:
+            L = len(pat)
+            start = 0
+            while True:
+                i = buf.find(pat, start, input_size)
+                if i < 0:
+                    break
+                start = i + 1
+                if seg and i + L > (i // seg + 1) * seg + halo:
+                    continue  # walk would be cut before completing
+                rows.append((i, L - 1, fid))
+        if not rows:
+            return np.empty((0, 3), dtype=np.int64)
+        return np.asarray(sorted(rows), dtype=np.int64)
+
     def _flat_turbo_one(self, shard, tt, padded, input_size: int):
         """Flat (pos, step, local-state) matches of ONE shard via the
         turbo engine, with dense-engine fallback on compaction
@@ -313,9 +341,30 @@ class Matcher:
         if ds is None:
             return None
         long_st, long_map = build_sub(i_long)
-        from phfpfac_tpu.ops.turbo_jnp import build_turbo_tables
+        if len(i_long) <= 8:
+            # TINY tail (the common case: >32 B patterns are rare —
+            # the 466k-title dictionary has exactly one): a host SIMD
+            # literal search beats a whole device scan by ~50x
+            # (measured r5: the 1-pattern turbo tail costs 869 ms per
+            # 32 MiB vs ~15 ms of bytes.find).  Rows are exactly what
+            # the turbo tail would emit — (pos, len-1, final-state),
+            # final ids recovered by walking the sub-automaton.
+            dense = long_st.dense_table()
 
-        long_tt = build_turbo_tables(long_st)
+            def final_of(pat: bytes) -> int:
+                s = int(long_st.s0[pat[0]])
+                for c in pat[1:]:
+                    s = int(dense[s][c])
+                return s
+
+            long_tt = (
+                "host",
+                [(pats[i], final_of(pats[i])) for i in i_long],
+            )
+        else:
+            from phfpfac_tpu.ops.turbo_jnp import build_turbo_tables
+
+            long_tt = build_turbo_tables(long_st)
         # the ORIGINAL shard is never scanned after a split — release
         # its dense-trie cache (~1 KB/state); the sub-shards keep
         # theirs for bitmap decode
@@ -451,9 +500,15 @@ class Matcher:
                                     long_st=long_st, long_tt=long_tt,
                                     short_map=short_map, long_map=long_map):
                             ms = short_resolve()
-                            ml = self._flat_turbo_one(
-                                long_st, long_tt, padded, input_size
-                            )
+                            if (isinstance(long_tt, tuple)
+                                    and long_tt[0] == "host"):
+                                ml = self._host_literal_one(
+                                    data, input_size, long_tt[1]
+                                )
+                            else:
+                                ml = self._flat_turbo_one(
+                                    long_st, long_tt, padded, input_size
+                                )
                             # back to ORIGINAL shard-local states
                             if ms.size:
                                 ms[:, 2] = short_map[ms[:, 2]]

@@ -635,3 +635,58 @@ def test_multiplane_staging_parity(monkeypatch):
     _c2, b2, _ = s1.scan_async(padded, n, cfg_s, ms)
     _c3, b3, _ = s0.scan_async(padded, n, cfg_s, ms)
     assert (np.asarray(b2)[:n] == np.asarray(b3)[:n]).all()
+
+
+class TestHostLiteralTail:
+    """Tiny >32 B tails (<= 8 patterns) ride a host literal search
+    instead of a device turbo scan (r5: the 466k dictionary's single
+    45 B title cost an 869 ms device scan vs ~15 ms of bytes.find);
+    larger tails keep the turbo engine.  Both must match the oracle."""
+
+    def _mk(self, n_long, seg=False):
+        from phfpfac_tpu.parallel.matcher import Matcher
+
+        rng = np.random.default_rng(41)
+        alpha = np.frombuffer(b"abcdef ", dtype=np.uint8)
+        short = [
+            bytes(alpha[rng.integers(0, len(alpha), int(rng.integers(1, 7)))])
+            for _ in range(40)
+        ]
+        long = [
+            bytes(alpha[rng.integers(0, len(alpha),
+                                     int(rng.integers(33, 44)))])
+            for _ in range(n_long)
+        ]
+        words = list(dict.fromkeys(short + long))
+        pats = [Pattern(i + 1, w) for i, w in enumerate(words)]
+        kw = dict(width=256, num_shards=1, interpret=True,
+                  truncation="none")
+        if seg:
+            kw.update(truncation="segment", segment_bytes=512,
+                      halo_bytes=64)
+        cfg = PfacConfig(**kw)
+        compiled = compile_patterns(pats, cfg)
+        text = bytearray(alpha[rng.integers(0, len(alpha), 6144)])
+        for j, w in enumerate(long):
+            o = 500 * (j + 1)  # some straddle segment cuts
+            text[o:o + len(w)] = w
+        data = bytes(text)
+        m = Matcher(compiled, cfg, engine="pallas")
+        got = [tuple(x) for x in m.match(data).tolist()]
+        assert got == match_oracle(pats, data, cfg), f"n_long={n_long}"
+        return m
+
+    def test_tiny_tail_goes_host(self):
+        m = self._mk(3)
+        _kind, scanners = m._get_pallas_scanner()
+        parts = scanners[0][1]
+        assert parts[4][0] == "host"  # long_tt is the host marker
+
+    def test_big_tail_keeps_turbo(self):
+        m = self._mk(10)
+        _kind, scanners = m._get_pallas_scanner()
+        parts = scanners[0][1]
+        assert not isinstance(parts[4], tuple)
+
+    def test_tiny_tail_segment_mode(self):
+        self._mk(3, seg=True)
