@@ -156,17 +156,25 @@ def _device_gather(bits_dev, input_size: int, cap: int,
     if fn is None:
 
         def f(b, m):
-            i = jax.lax.iota(jnp.int32, b.shape[0])
+            # plane geometry DERIVED from the traced shape: jit
+            # re-traces per input shape, so closure-baked nb/n from
+            # the build-time plane would corrupt a different-length
+            # call sharing the (cap, high_only, cap_blocks) cache key
+            # (hit r5 by StreamMatcher's first-feed window, which is
+            # one pad block shorter than tail-extended feeds)
+            nb_ = b.shape[0] // _FETCH_BLOCK
+            n_ = b.shape[0]
+            i = jax.lax.iota(jnp.int32, n_)
             masked = jnp.where(i < m, b, 0)
             sel = masked & ~0xFF if high_only else masked
-            blk = sel.reshape(nb, _FETCH_BLOCK)
+            blk = sel.reshape(nb_, _FETCH_BLOCK)
             bany = jnp.any(blk != 0, axis=1)
-            (bidx,) = jnp.nonzero(bany, size=cap_blocks, fill_value=nb)
-            safe_b = jnp.minimum(bidx, nb - 1)
+            (bidx,) = jnp.nonzero(bany, size=cap_blocks, fill_value=nb_)
+            safe_b = jnp.minimum(bidx, nb_ - 1)
             g = jnp.where(
-                (bidx < nb)[:, None], blk[safe_b], 0
+                (bidx < nb_)[:, None], blk[safe_b], 0
             )
-            gm = masked.reshape(nb, _FETCH_BLOCK)[safe_b]
+            gm = masked.reshape(nb_, _FETCH_BLOCK)[safe_b]
             flat_n = cap_blocks * _FETCH_BLOCK
             (hi,) = jnp.nonzero(
                 g.reshape(-1), size=cap, fill_value=flat_n
@@ -175,7 +183,7 @@ def _device_gather(bits_dev, input_size: int, cap: int,
             pos = bidx[safe // _FETCH_BLOCK] * _FETCH_BLOCK \
                 + safe % _FETCH_BLOCK
             vals = gm.reshape(-1)[safe]
-            pos = jnp.where(hi < flat_n, pos, n)
+            pos = jnp.where(hi < flat_n, pos, n_)
             return pos, vals
 
         fn = _gather_fns[(cap, high_only, cap_blocks)] = jax.jit(f)

@@ -91,3 +91,29 @@ def test_fetch_dense_u8_plane(high_frac, monkeypatch):
     input_size = n - 777
     plane[input_size + 5] = 1 << 20  # padding-zone hit must drop
     _check(plane, input_size)
+
+
+def test_device_gather_shape_cache_across_plane_lengths():
+    """The jitted two-level gather is cached by (cap, high_only,
+    cap_blocks); jit re-traces per input SHAPE, so the plane geometry
+    must come from the traced shape, not build-time closures — r5
+    regression: StreamMatcher's first-feed window (one pad block
+    shorter than tail-extended feeds) hit a stale-nb reshape error."""
+    import numpy as np
+
+    from phfpfac_tpu.ops.bitmap import _device_gather
+
+    rng = np.random.default_rng(3)
+
+    def plane(n, hits):
+        b = np.zeros(n, dtype=np.int32)
+        idx = rng.choice(n, size=hits, replace=False)
+        b[idx] = 7
+        return b, set(idx.tolist())
+
+    for n in (16 * 1024, 17 * 1024):  # different lengths, same caps
+        b, want = plane(n, 50)
+        pos, vals = _device_gather(b, n, cap=64, cap_blocks=16)
+        pos = np.asarray(pos)
+        got = set(int(p) for p in pos[pos < n].tolist())
+        assert got == want, f"n={n}"
