@@ -690,3 +690,39 @@ class TestHostLiteralTail:
 
     def test_tiny_tail_segment_mode(self):
         self._mk(3, seg=True)
+
+
+def test_window_fusion_pairing():
+    """_pairing / fresh_window_offsets: mono runs pair up starting at
+    the prologue's offset-0 window; pair steps break chains (their
+    window covers off and off+1 but the next step starts at off+2)."""
+    from phfpfac_tpu.compile.plan import StepSpec
+    from phfpfac_tpu.ops.pallas_plan import (
+        _pairing,
+        fresh_window_offsets,
+    )
+
+    def spec(kind, depth0):
+        return StepSpec(kind=kind, depth0=depth0, off=0, nb=1, k0=0,
+                        s_off=0, s_nb=1, s_k0=0, s_nibble=False, miss=0)
+
+    # pure-mono plan, s0 prologue: offsets 1..6; w0 covers offset 1,
+    # then (2,3), (4,5) pair up and 6 is fresh
+    steps = tuple(spec("mono", d) for d in range(2, 8))
+    reuse = _pairing(steps, True, True)
+    assert reuse == {0: -1, 2: 1, 4: 3}
+    assert fresh_window_offsets(steps, fuse=True) == (0, 2, 4, 6)
+    # fuse off: every offset fresh
+    assert fresh_window_offsets(steps, fuse=False) == (0, 1, 2, 3, 4, 5, 6)
+
+    # a pair step breaks the chain: mono@2 (w0), pair@3-4, mono@5
+    # cannot reuse the pair's window (no overlap), mono@6 reuses 5's
+    steps = (spec("mono", 2), spec("pair", 3), spec("mono", 5),
+             spec("mono", 6))
+    reuse = _pairing(steps, True, True)
+    assert reuse == {0: -1, 3: 2}
+    assert fresh_window_offsets(steps, fuse=True) == (0, 2, 4)
+
+    # no w0 (phase-B style): first mono is fresh, second reuses
+    reuse = _pairing(tuple(spec("mono", d) for d in (2, 3)), False, True)
+    assert reuse == {1: 0}
